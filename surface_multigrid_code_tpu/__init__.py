@@ -1,0 +1,55 @@
+"""surface_multigrid_code_tpu — TPU-native surface multigrid framework.
+
+A from-scratch JAX/XLA/Pallas implementation of the capabilities of
+"Surface Multigrid via Intrinsic Prolongation" (Liu, Zhang, Ben-Chen,
+Jacobson; SIGGRAPH 2021), re-designed TPU-first:
+
+- Host precompute (offline): SSP decimation with successive
+  self-parameterization, emitting flat arrays (CSR/ELL prolongations,
+  flattened collapse logs).
+- Device runtime (online): jitted Galerkin multigrid V-cycles with
+  multi-color Gauss-Seidel / weighted-Jacobi smoothing, ELL SpMV
+  (Pallas kernels on the hot path), dense coarse solves, and
+  shard_map-based multi-chip row partitioning.
+
+Reference behavior is documented against HTDerekLiu/surface_multigrid_code
+(file:line cites in docstrings); the implementation is new.
+"""
+
+from surface_multigrid_code_tpu.config import (
+    MGConfig,
+    SolveConfig,
+    DecimationType,
+)
+from surface_multigrid_code_tpu.solver.hierarchy import (
+    get_prolong,
+    get_prolong_block,
+    mg_precompute,
+    mg_precompute_block,
+)
+from surface_multigrid_code_tpu.solver.mqwf_mg import (
+    min_quad_with_fixed_mg_precompute,
+    min_quad_with_fixed_mg_solve,
+)
+from surface_multigrid_code_tpu.ssp.decimate import SSP_decimate
+from surface_multigrid_code_tpu.query.maps import (
+    query_fine_to_coarse,
+    query_coarse_to_fine,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "MGConfig",
+    "SolveConfig",
+    "DecimationType",
+    "get_prolong",
+    "get_prolong_block",
+    "mg_precompute",
+    "mg_precompute_block",
+    "min_quad_with_fixed_mg_precompute",
+    "min_quad_with_fixed_mg_solve",
+    "SSP_decimate",
+    "query_fine_to_coarse",
+    "query_coarse_to_fine",
+]

@@ -1,0 +1,199 @@
+"""Jitted Galerkin multigrid V-cycle on device.
+
+Mirrors the reference recursion (src/mg_VCycle.cpp:3-59): pre-relax,
+residual, restrict (PT @ r), recurse with zero initial guess, prolong and
+add (P @ uc), post-relax; coarsest level solves additively with a
+prefactorized dense factorization (the reference uses SimplicialLDLT with a
+1e-12 diagonal shift, src/min_quad_with_fixed_mg.cpp:31-48 — we use dense
+LU since the coarsest level is ~500x500 and LU tolerates the near-singular
+unconstrained Laplacian case).
+
+The recursion is unrolled in Python over a static tuple of levels, so XLA
+sees one flat graph with static shapes per level — the idiomatic way to
+handle per-level shape differences under jit.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import numpy as np
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+
+from surface_multigrid_code_tpu.config import SolveConfig, SmootherType
+from surface_multigrid_code_tpu.ops.sparse import ELLMatrix, ell_from_csr, ell_spmv
+from surface_multigrid_code_tpu.ops.smoothers import (
+    greedy_coloring,
+    color_groups,
+    group_scales,
+    multicolor_gs_sweep,
+    jacobi_sweep,
+)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class DeviceLevel:
+    """Per-level device data; P/PT map this level to the next-finer level
+    (as in reference mg_data: mg[lv].P is n_{lv-1} x n_lv). None at level 0.
+    """
+
+    A: ELLMatrix
+    diag: jnp.ndarray
+    P: ELLMatrix | None
+    PT: ELLMatrix | None
+    groups: tuple[jnp.ndarray, ...]
+    group_scale: tuple[jnp.ndarray, ...]
+
+    def tree_flatten(self):
+        children = (self.A, self.diag, self.P, self.PT, self.groups, self.group_scale)
+        return children, None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class DeviceHierarchy:
+    levels: tuple[DeviceLevel, ...]
+    lu: jnp.ndarray        # dense LU factors of the coarsest A
+    piv: jnp.ndarray       # pivots
+
+    def tree_flatten(self):
+        return (self.levels, self.lu, self.piv), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def n_levels(self) -> int:
+        return len(self.levels)
+
+
+def build_device_hierarchy(
+    As: list[sp.spmatrix],
+    Ps: list[sp.spmatrix],
+    cfg: SolveConfig = SolveConfig(),
+    dtype=jnp.float64,
+    colorings: list[np.ndarray] | None = None,
+) -> DeviceHierarchy:
+    """Host -> device hierarchy build.
+
+    As: per-level Galerkin matrices (len L), coarsest already diag-shifted.
+    Ps: prolongations, Ps[l] maps level l+1 -> level l (len L-1).
+    colorings: optional cached row colorings (sparsity is static across
+    value refreshes, e.g. MCF's per-step rebuild).
+    """
+    L = len(As)
+    levels = []
+    for lv in range(L):
+        A = As[lv].tocsr()
+        diag = jnp.asarray(A.diagonal(), dtype=dtype)
+        ell = ell_from_csr(A, dtype=dtype)
+        if cfg.smoother == SmootherType.MULTICOLOR_GS and lv < L - 1:
+            color = (
+                colorings[lv]
+                if colorings is not None
+                else greedy_coloring(A)
+            )
+            groups_np = color_groups(color)
+            groups = tuple(jnp.asarray(g) for g in groups_np)
+            group_scale = tuple(
+                jnp.asarray(s, dtype=dtype) for s in group_scales(groups_np)
+            )
+        else:
+            groups = ()
+            group_scale = ()
+        if lv == 0:
+            P = PT = None
+        else:
+            P = ell_from_csr(Ps[lv - 1], dtype=dtype)
+            PT = ell_from_csr(Ps[lv - 1].T.tocsr(), dtype=dtype)
+        levels.append(
+            DeviceLevel(A=ell, diag=diag, P=P, PT=PT, groups=groups, group_scale=group_scale)
+        )
+    Ac = np.asarray(As[-1].todense(), dtype=np.float64)
+    lu, piv = jsl.lu_factor(jnp.asarray(Ac, dtype=dtype))
+    return DeviceHierarchy(levels=tuple(levels), lu=lu, piv=piv)
+
+
+def _sweep(level: DeviceLevel, b, u, cfg: SolveConfig):
+    if cfg.smoother == SmootherType.MULTICOLOR_GS and level.groups:
+        return multicolor_gs_sweep(
+            level.A, level.diag, level.groups, level.group_scale, b, u
+        )
+    return jacobi_sweep(level.A, level.diag, b, u, weight=cfg.jacobi_weight)
+
+
+def vcycle(
+    hier: DeviceHierarchy,
+    b: jnp.ndarray,
+    u: jnp.ndarray,
+    cfg: SolveConfig = SolveConfig(),
+) -> jnp.ndarray:
+    """One V-cycle on the finest level (recursion unrolled; jittable)."""
+
+    def go(lv: int, B, U):
+        level = hier.levels[lv]
+        if lv == hier.n_levels - 1:
+            return U + jsl.lu_solve((hier.lu, hier.piv), B)
+        for _ in range(cfg.pre_relax_iter):
+            U = _sweep(level, B, U, cfg)
+        r = B - ell_spmv(level.A, U)
+        nxt = hier.levels[lv + 1]
+        rc = ell_spmv(nxt.PT, r)
+        uc = jnp.zeros(
+            rc.shape if r.ndim > 1 else (nxt.A.n_rows,), dtype=r.dtype
+        )
+        uc = go(lv + 1, rc, uc)
+        U = U + ell_spmv(nxt.P, uc)
+        for _ in range(cfg.post_relax_iter):
+            U = _sweep(level, B, U, cfg)
+        return U
+
+    return go(0, b, u)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter", "cfg"))
+def solve_loop(
+    hier: DeviceHierarchy,
+    rhs: jnp.ndarray,
+    z0: jnp.ndarray,
+    tol: jnp.ndarray,
+    max_iter: int,
+    cfg: SolveConfig,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Reference solve loop (src/min_quad_with_fixed_mg.cpp:330-347):
+    each iteration records ||rhs - A z|| (Frobenius norm for multi-RHS),
+    stops *before* cycling when below tol. Returns (z, r_his, n_recorded);
+    r_his is padded to max_iter with -1.
+    """
+    A0 = hier.levels[0].A
+
+    def resid(z):
+        r = rhs - ell_spmv(A0, z)
+        return jnp.sqrt((r * r).sum())
+
+    def cond(state):
+        k, _, _, done = state
+        return jnp.logical_and(~done, k < max_iter)
+
+    def body(state):
+        k, z, r_his, _ = state
+        res = resid(z)
+        r_his = r_his.at[k].set(res)
+        done = res < tol
+        z = jax.lax.cond(done, lambda zz: zz, lambda zz: vcycle(hier, rhs, zz, cfg), z)
+        return (k + 1, z, r_his, done)
+
+    r_his0 = jnp.full((max_iter,), -1.0, dtype=rhs.dtype)
+    k, z, r_his, _ = jax.lax.while_loop(cond, body, (0, z0, r_his0, jnp.asarray(False)))
+    return z, r_his, k
