@@ -23,7 +23,6 @@ import scipy.sparse as sp
 
 import jax
 import jax.numpy as jnp
-import jax.scipy.linalg as jsl
 
 from surface_multigrid_code_tpu.config import SolveConfig, SmootherType
 from surface_multigrid_code_tpu.ops.sparse import ELLMatrix, ell_from_csr, ell_spmv
@@ -63,11 +62,10 @@ class DeviceLevel:
 @dataclass
 class DeviceHierarchy:
     levels: tuple[DeviceLevel, ...]
-    lu: jnp.ndarray        # dense LU factors of the coarsest A
-    piv: jnp.ndarray       # pivots
+    coarse_inv: jnp.ndarray  # dense (pseudo-)inverse of the coarsest A
 
     def tree_flatten(self):
-        return (self.levels, self.lu, self.piv), None
+        return (self.levels, self.coarse_inv), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -120,9 +118,22 @@ def build_device_hierarchy(
         levels.append(
             DeviceLevel(A=ell, diag=diag, P=P, PT=PT, groups=groups, group_scale=group_scale)
         )
+    # Coarse solve: the reference prefactorizes with SimplicialLDLT after a
+    # +1e-12 diagonal shift (src/min_quad_with_fixed_mg.cpp:31-48).  On TPU
+    # we instead build a nullspace-deflated pseudo-inverse on host in f64 and
+    # apply it as ONE dense matmul on device: triangular solves are serial
+    # and slow on TPU while a ~500x500 matmul rides the MXU, and deflation
+    # keeps f32 runs stable when the unconstrained Laplacian is singular
+    # (the 1e-12 shift is below f32 epsilon, so an f32 LU would blow up).
     Ac = np.asarray(As[-1].todense(), dtype=np.float64)
-    lu, piv = jsl.lu_factor(jnp.asarray(Ac, dtype=dtype))
-    return DeviceHierarchy(levels=tuple(levels), lu=lu, piv=piv)
+    Ac = 0.5 * (Ac + Ac.T)
+    w, U = np.linalg.eigh(Ac)
+    cutoff = max(1e-10 * float(np.abs(w).max()), 1e-300)
+    inv_w = np.where(np.abs(w) > cutoff, 1.0 / np.where(w == 0, 1.0, w), 0.0)
+    Cinv = (U * inv_w) @ U.T
+    return DeviceHierarchy(
+        levels=tuple(levels), coarse_inv=jnp.asarray(Cinv, dtype=dtype)
+    )
 
 
 def _sweep(level: DeviceLevel, b, u, cfg: SolveConfig):
@@ -144,7 +155,8 @@ def vcycle(
     def go(lv: int, B, U):
         level = hier.levels[lv]
         if lv == hier.n_levels - 1:
-            return U + jsl.lu_solve((hier.lu, hier.piv), B)
+            # additive coarse correction (reference src/mg_VCycle.cpp:181-201)
+            return U + hier.coarse_inv @ B
         for _ in range(cfg.pre_relax_iter):
             U = _sweep(level, B, U, cfg)
         r = B - ell_spmv(level.A, U)
