@@ -1,0 +1,110 @@
+"""Benchmark: V-cycle smoother/SpMV throughput on a bunny_140K-class mesh.
+
+Runs the full pipeline — SSP hierarchy precompute (native engine) +
+Galerkin coarsening + jitted V-cycle — on the largest available mesh and
+reports steady-state device throughput as nnz/s through the smoother+
+residual SpMV path, the metric BASELINE.json designates as primary.
+
+`vs_baseline` is achieved nnz/s divided by the BASELINE.md target of
+80% of the HBM-bandwidth roofline for the ELL SpMV (f32: 4B value + 4B
+index + ~4B amortized vector traffic per nonzero).
+
+Prints ONE JSON line on stdout.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from surface_multigrid_code_tpu.config import SolveConfig, SmootherType
+    from surface_multigrid_code_tpu.ops.laplacian import cotmatrix, massmatrix
+    from surface_multigrid_code_tpu.solver.hierarchy import mg_precompute
+    from surface_multigrid_code_tpu.solver.mqwf_mg import (
+        min_quad_with_fixed_mg_precompute,
+        min_quad_with_fixed_mg_solve,
+    )
+    from surface_multigrid_code_tpu.utils.synthetic import icosphere
+
+    dev = jax.devices()[0]
+    on_tpu = dev.platform not in ("cpu",)
+
+    # bunny_140K-class problem (the shipped meshes top out at 40K faces;
+    # BASELINE.json's north-star mesh bunny_140K_init is not in the repo)
+    t0 = time.time()
+    V, F = icosphere(6 if on_tpu else 4)  # 40962 V / 81920 F on TPU
+    mg = mg_precompute(V, F, verbose=False)
+    t_hier = time.time() - t0
+
+    L = cotmatrix(V, F)
+    M = massmatrix(V, F)
+    A = (M - 0.01 * L).tocsr()
+    rhs = np.asarray(M @ V[:, 0])
+
+    cfg = SolveConfig(smoother=SmootherType.JACOBI)
+    t0 = time.time()
+    data = min_quad_with_fixed_mg_precompute(A, None, mg, cfg=cfg, dtype=jnp.float32)
+    t_pre = time.time() - t0
+
+    # warmup (compile) — must use the same max_iter: it is a static argument
+    # of the jitted solve loop, so a different value would recompile
+    n_cycles = 8
+    z, r_his, ok = min_quad_with_fixed_mg_solve(
+        data, rhs, tolerance=0.0, max_iter=n_cycles
+    )
+    t0 = time.time()
+    z, r_his, ok = min_quad_with_fixed_mg_solve(
+        data, rhs, tolerance=0.0, max_iter=n_cycles
+    )
+    t_solve = time.time() - t0
+    t_cycle = t_solve / n_cycles
+
+    # nnz touched per V-cycle: per level, 4 smoother sweeps (SpMV each) +
+    # 1 residual SpMV + restrict/prolong SpMVs (SURVEY.md §3.3)
+    nnz = 0
+    for lv, level in enumerate(data.hier.levels):
+        a_nnz = int(np.sum(np.asarray(level.A.data) != 0))
+        sweeps = 4 + 1 if lv < len(data.hier.levels) - 1 else 0
+        nnz += sweeps * a_nnz
+        if lv > 0:
+            p_nnz = int(np.sum(np.asarray(level.P.data) != 0))
+            nnz += 2 * p_nnz
+    nnz_per_s = nnz / t_cycle
+
+    # roofline: v5e HBM ~819 GB/s; ELL SpMV reads 4B value + 4B index +
+    # ~4B vector gather per nonzero in f32
+    hbm_gbps = 819e9 if on_tpu else 50e9
+    roofline = hbm_gbps / 12.0
+    target = 0.8 * roofline
+
+    resid_rate = (r_his[-1] / r_his[0]) ** (1.0 / max(1, len(r_his) - 1)) if len(r_his) > 1 else 0.0
+
+    print(
+        json.dumps(
+            {
+                "metric": "vcycle_smoother_spmv_throughput",
+                "value": round(nnz_per_s / 1e9, 4),
+                "unit": "Gnnz/s",
+                "vs_baseline": round(nnz_per_s / target, 4),
+                "detail": {
+                    "device": str(dev),
+                    "mesh": f"icosphere |V|={V.shape[0]} |F|={F.shape[0]}",
+                    "levels": [lvl.V.shape[0] for lvl in mg],
+                    "t_vcycle_ms": round(t_cycle * 1e3, 3),
+                    "t_hierarchy_s": round(t_hier, 2),
+                    "t_precompute_s": round(t_pre, 2),
+                    "residual_reduction_per_cycle": round(float(resid_rate), 4),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -710,6 +710,33 @@ void ssp_result_fill(void* h, double* Vc, i64* Fc, i64* IM, i64* IMF, i64* FIM,
 
 void ssp_result_free(void* h) { delete (ssp::Result*)h; }
 
+// Greedy graph coloring of a CSR sparsity pattern (rows sharing an
+// off-diagonal structural nonzero never share a color) — host precompute
+// for the multi-color Gauss-Seidel smoother.  Returns the color count.
+i64 ssp_greedy_coloring(i64 n, const i64* indptr, const i64* indices,
+                        int32_t* color) {
+  std::vector<int32_t> mark;  // mark[c] == i means color c is used by a
+                              // neighbor of the current row
+  mark.reserve(64);
+  i64 ncolors = 0;
+  for (i64 i = 0; i < n; ++i) color[i] = -1;
+  for (i64 i = 0; i < n; ++i) {
+    for (i64 k = indptr[i]; k < indptr[i + 1]; ++k) {
+      const i64 j = indices[k];
+      if (j == i || color[j] < 0) continue;
+      const i64 c = color[j];
+      if (c >= (i64)mark.size()) mark.resize(c + 1, -1);
+      mark[c] = (int32_t)(i & 0x7fffffff);
+    }
+    i64 c = 0;
+    const int32_t tag = (int32_t)(i & 0x7fffffff);
+    while (c < (i64)mark.size() && mark[c] == tag) ++c;
+    color[i] = (int32_t)c;
+    if (c + 1 > ncolors) ncolors = c + 1;
+  }
+  return ncolors;
+}
+
 // In-place query walk.  fwd=1: fine->coarse, fwd=0: coarse->fine.
 // BC: nq x 3 doubles, BF: nq x 3 int64 (working-mesh vertex ids),
 // FIdx: nq int64 (working-mesh face ids).  Index remapping to/from the

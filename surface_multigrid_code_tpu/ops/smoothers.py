@@ -28,9 +28,16 @@ def greedy_coloring(A: sp.spmatrix) -> np.ndarray:
 
     Returns int array color[n]. Rows sharing a structural nonzero (off the
     diagonal) never share a color. Cotan Laplacians (~7 nnz/row) typically
-    need 5-8 colors.
+    need 5-8 colors.  Runs in the native engine; NumPy fallback kept for
+    environments without a C++ toolchain.
     """
     A = A.tocsr()
+    try:
+        from surface_multigrid_code_tpu.ssp._native import greedy_coloring_csr
+
+        return greedy_coloring_csr(A.indptr, A.indices)
+    except Exception:
+        pass
     n = A.shape[0]
     color = np.full(n, -1, dtype=np.int32)
     indptr, indices = A.indptr, A.indices

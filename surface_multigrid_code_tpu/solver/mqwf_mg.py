@@ -130,6 +130,15 @@ def min_quad_with_fixed_mg_precompute(
     for lv in range(len(mg)):
         mg[lv].A_diag = mg[lv].A.diagonal()
 
+    # Row colorings for multi-color GS depend only on each level's sparsity,
+    # which is static across value refreshes (e.g. MCF's per-step rebuild) —
+    # compute once and let callers thread `data.colorings` back in.
+    from surface_multigrid_code_tpu.config import SmootherType
+    from surface_multigrid_code_tpu.ops.smoothers import greedy_coloring
+
+    if colorings is None and cfg.smoother == SmootherType.MULTICOLOR_GS:
+        colorings = [greedy_coloring(mg[lv].A) for lv in range(len(mg) - 1)]
+
     hier = build_device_hierarchy(
         [lvl.A for lvl in mg],
         [mg[lv].P for lv in range(1, len(mg))],
@@ -146,6 +155,7 @@ def min_quad_with_fixed_mg_precompute(
         hier=hier,
         cfg=cfg,
         dtype=dtype,
+        colorings=colorings,
     )
 
 

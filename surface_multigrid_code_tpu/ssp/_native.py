@@ -76,6 +76,10 @@ def get_lib():
                 p_i64, p_i64,                   # dim_off, dim_dat
             ]
             lib.ssp_result_free.argtypes = [ctypes.c_void_p]
+            lib.ssp_greedy_coloring.restype = i64
+            lib.ssp_greedy_coloring.argtypes = [
+                i64, p_i64, p_i64, ctypes.POINTER(ctypes.c_int32),
+            ]
             lib.ssp_query.argtypes = [
                 i64, p_i64, p_i64, p_i64, p_f64, p_f64,
                 p_i64, p_i64, p_i64, p_i64, p_i64, p_i64,
@@ -141,6 +145,19 @@ def decimate(V, F, tarF, dec_type, random_variant=False, seed=0, verbose=False):
         return out
     finally:
         lib.ssp_result_free(h)
+
+
+def greedy_coloring_csr(indptr: np.ndarray, indices: np.ndarray) -> np.ndarray:
+    """Native greedy coloring of a CSR sparsity (for multi-color GS)."""
+    lib = get_lib()
+    n = indptr.shape[0] - 1
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.int64)
+    color = np.zeros(n, dtype=np.int32)
+    lib.ssp_greedy_coloring(
+        n, _pi(indptr), _pi(indices), color.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    )
+    return color
 
 
 def query_walk(log: dict, forward: bool, BC, BF, FIdx):

@@ -56,12 +56,15 @@ def midpoint_subdivide(
     e01 = n + inv[:m]
     e12 = n + inv[m : 2 * m]
     e20 = n + inv[2 * m :]
+    # 4 face blocks; ordering matches the reference's neuralSubdiv-compatible
+    # connectivity (09_random_subdiv_remesh/main.cpp:84-106): corner faces
+    # then center faces (e12, e20, e01)
     F2 = np.concatenate(
         [
             np.stack([F[:, 0], e01, e20], axis=1),
             np.stack([F[:, 1], e12, e01], axis=1),
             np.stack([F[:, 2], e20, e12], axis=1),
-            np.stack([e01, e12, e20], axis=1),
+            np.stack([e12, e20, e01], axis=1),
         ]
     )
     rows = np.concatenate([np.arange(n), np.arange(n, n + ne), np.arange(n, n + ne)])
