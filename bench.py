@@ -28,7 +28,6 @@ def main():
     from surface_multigrid_code_tpu.solver.hierarchy import mg_precompute
     from surface_multigrid_code_tpu.solver.mqwf_mg import (
         min_quad_with_fixed_mg_precompute,
-        min_quad_with_fixed_mg_solve,
     )
     from surface_multigrid_code_tpu.utils.synthetic import icosphere
 
@@ -52,18 +51,24 @@ def main():
     data = min_quad_with_fixed_mg_precompute(A, None, mg, cfg=cfg, dtype=jnp.float32)
     t_pre = time.time() - t0
 
-    # warmup (compile) — must use the same max_iter: it is a static argument
-    # of the jitted solve loop, so a different value would recompile
+    # Time the DEVICE-RESIDENT jitted solve loop directly: the public solve
+    # wrapper's host<->device transfers are dominated by the axon tunnel in
+    # this environment and would measure the link, not the chip.
+    from surface_multigrid_code_tpu.solver.vcycle import solve_loop
+
     n_cycles = 8
-    z, r_his, ok = min_quad_with_fixed_mg_solve(
-        data, rhs, tolerance=0.0, max_iter=n_cycles
-    )
+    rhs_d = jax.device_put(jnp.asarray(rhs, dtype=jnp.float32))
+    z0_d = jnp.zeros_like(rhs_d)
+    tol_d = jnp.asarray(0.0, dtype=jnp.float32)
+    out = solve_loop(data.hier, rhs_d, z0_d, tol_d, n_cycles, cfg)
+    jax.block_until_ready(out)
+    reps = 20
     t0 = time.time()
-    z, r_his, ok = min_quad_with_fixed_mg_solve(
-        data, rhs, tolerance=0.0, max_iter=n_cycles
-    )
-    t_solve = time.time() - t0
-    t_cycle = t_solve / n_cycles
+    for _ in range(reps):
+        out = solve_loop(data.hier, rhs_d, z0_d, tol_d, n_cycles, cfg)
+    jax.block_until_ready(out)
+    t_cycle = (time.time() - t0) / (reps * n_cycles)
+    r_his = [float(r) for r in np.asarray(out[1])[: int(out[2])]]
 
     # nnz touched per V-cycle: per level, 4 smoother sweeps (SpMV each) +
     # 1 residual SpMV + restrict/prolong SpMVs (SURVEY.md §3.3)

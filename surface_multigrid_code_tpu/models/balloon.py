@@ -1,0 +1,154 @@
+"""Balloon inflation simulation (reference example 06).
+
+Nonlinear implicit Euler with multigrid Newton solves
+(sim_utils/implicit_euler_mg_balloon.h:18-124):
+
+per Newton iteration (x10):
+    K   = stretching Hessian at curPos
+    H   = M + dt^2 K
+    g   = -(M (qdot - qdot0) + dt G + dt fExt)
+    dx  = multigrid solve H dx = g  (block hierarchy reused, Galerkin redone,
+          tol 2e-1 — reference main.cpp:42)
+    backtracking line search on E(qdot + alpha dx) with c = 1e-8, p = 0.5
+    qdot += alpha dx;  curPos = curPos0 + dt * qdot
+
+per outer step (main.cpp:113-122): fExt = -N_v * M_v * 1e6 (inflation
+pressure along vertex normals), M = 1000 * 3-expanded lumped mass.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+
+from surface_multigrid_code_tpu.config import SolveConfig, SmootherType
+from surface_multigrid_code_tpu.models.shell import ShellEnergy, lame_parameters
+from surface_multigrid_code_tpu.ops.laplacian import massmatrix
+from surface_multigrid_code_tpu.solver.mqwf_mg import (
+    min_quad_with_fixed_mg_precompute,
+    min_quad_with_fixed_mg_solve,
+)
+
+
+def lumped_mass_matrix(V, F) -> sp.csr_matrix:
+    """3-expanded lumped (voronoi) mass matrix over interleaved xyz DOFs
+    (sim_utils/lumped_mass_matrix.cpp)."""
+    Mv = massmatrix(V, F, kind="voronoi")
+    d = np.asarray(Mv.diagonal())
+    return sp.diags(np.repeat(d, 3)).tocsr()
+
+
+def vertex_normals(V, F) -> np.ndarray:
+    """Area-weighted per-vertex normals (igl::per_vertex_normals default)."""
+    V = np.asarray(V, dtype=np.float64)
+    F = np.asarray(F, dtype=np.int64)
+    fn = np.cross(V[F[:, 1]] - V[F[:, 0]], V[F[:, 2]] - V[F[:, 0]])
+    N = np.zeros_like(V)
+    for c in range(3):
+        np.add.at(N, F[:, c], fn)
+    nrm = np.linalg.norm(N, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0
+    return N / nrm
+
+
+def implicit_euler_mg_balloon(
+    shell: ShellEnergy,
+    M: sp.csr_matrix,
+    curPos: np.ndarray,
+    qdot: np.ndarray,
+    fExt: np.ndarray,
+    dt: float,
+    mg,
+    mg_tolerance: float = 2e-1,
+    n_newton: int = 10,
+    cfg: SolveConfig | None = None,
+    colorings=None,
+    verbose: bool = True,
+):
+    """One implicit Euler step; mutates nothing, returns (curPos, qdot,
+    colorings)."""
+    cfg = cfg or SolveConfig(smoother=SmootherType.MULTICOLOR_GS)
+    qdot0 = qdot.copy()
+    curPos0 = curPos.copy()
+    qdot = qdot.copy()
+    curPos = curPos.copy()
+
+    def total_energy(tmp_qdot):
+        Ek = 0.5 * (tmp_qdot - qdot0) @ (M @ (tmp_qdot - qdot0))
+        newPos = curPos0 + dt * tmp_qdot.reshape(-1, 3)
+        Eext = float(newPos.reshape(-1) @ fExt)
+        Ev = shell.energy(newPos.reshape(-1))
+        return Eext + Ek + Ev
+
+    for it in range(n_newton):
+        G = shell.gradient(curPos.reshape(-1))
+        K = shell.hessian(curPos.reshape(-1))
+        H = (M + dt * dt * K).tocsr()
+        g = -(M @ (qdot - qdot0) + dt * G + dt * fExt)
+
+        data = min_quad_with_fixed_mg_precompute(
+            H, None, mg, cfg=cfg, colorings=colorings
+        )
+        colorings = data.colorings
+        dx, r_his, ok = min_quad_with_fixed_mg_solve(
+            data, g, tolerance=mg_tolerance, max_iter=20
+        )
+        if verbose:
+            print(f"  newton {it}: g.dx = {g @ dx:.6e}, cycles {len(r_his)}")
+
+        # backtracking line search (reference :80-114)
+        alpha, p, c = 1.0, 0.5, 1e-8
+        f0 = total_energy(qdot)
+        s = f0 + c * (g @ dx)
+        while alpha > 1e-8:
+            if total_energy(qdot + alpha * dx) <= s:
+                qdot = qdot + alpha * dx
+                break
+            alpha *= p
+        if verbose:
+            print(f"  alpha: {alpha}")
+        curPos = curPos0 + dt * qdot.reshape(-1, 3)
+    return curPos, qdot, colorings
+
+
+def run_balloon(
+    V,
+    F,
+    n_steps: int = 1,
+    dt: float = 1e-3,
+    thickness: float = 1e-1,
+    poisson: float = 0.5,
+    young: float = 6e6,
+    material: str = "neohookean",
+    mg_tolerance: float = 2e-1,
+    pressure: float = 1e6,
+    mg=None,
+    verbose: bool = True,
+):
+    """Reference main.cpp:154-201 driver: block hierarchy on the rest mesh,
+    inflation force recomputed per outer step.  Yields curPos per step."""
+    from surface_multigrid_code_tpu.solver.hierarchy import mg_precompute_block
+
+    V = np.asarray(V, dtype=np.float64)
+    F = np.asarray(F, dtype=np.int64)
+    alpha, beta = lame_parameters(young, poisson)
+    shell = ShellEnergy(V, F, thickness, alpha, beta, material)
+    if mg is None:
+        mg = mg_precompute_block(V, F, verbose=verbose)
+    M = 1000.0 * lumped_mass_matrix(V, F)
+
+    curPos = V.copy()
+    qdot = np.zeros(3 * V.shape[0])
+    colorings = None
+    Mv = massmatrix(V, F, kind="voronoi")
+    for step in range(n_steps):
+        N = vertex_normals(curPos, F)
+        Mvd = np.asarray(massmatrix(curPos, F, kind="voronoi").diagonal())
+        fExt = (-(N * Mvd[:, None]) * pressure).reshape(-1)
+        curPos, qdot, colorings = implicit_euler_mg_balloon(
+            shell, M, curPos, qdot, fExt, dt, mg,
+            mg_tolerance=mg_tolerance, colorings=colorings, verbose=verbose,
+        )
+        if verbose:
+            print(f"step {step}: max |disp| = {np.abs(curPos - V).max():.4f}")
+        yield curPos
