@@ -30,21 +30,37 @@ def main(n_steps: int = 5):
     print(f"original mesh: |V| {V.shape[0]}, |F|: {F.shape[0]}")
 
     mg = mg_precompute(V, F, ratio=0.25, min_coarsest_nv=500, dec_type=1)
-    L = cotmatrix(V, F)
+    L = cotmatrix(V, F).tocsr()
+    L.sum_duplicates()
 
     delta = 0.01
     mg_tol = 5e-7
+
+    # Per-step system (M - delta L) shares L's sparsity (M is diagonal), so
+    # the whole per-step precompute collapses to a device value refresh
+    # (solver/refresh.py) instead of the reference's per-step SpGEMM+LDLT.
+    import jax.numpy as jnp
+
+    from surface_multigrid_code_tpu.solver.refresh import (
+        RefreshableMGSolver,
+        csr_slot_map,
+    )
+
+    pattern = L
+    solver = RefreshableMGSolver(mg, pattern, dtype=jnp.float64)
+    n = V.shape[0]
+    diag_slots = csr_slot_map(pattern, np.arange(n), np.arange(n))
+
     U = V.copy()
-    colorings = None
     for step in range(n_steps):
         U_pre = U.copy()
         M = massmatrix(U, F, kind="barycentric")
-        LHS = (M - delta * L).tocsr()
+        vals = -delta * L.data
+        vals = vals.copy()
+        vals[diag_slots] += np.asarray(M.diagonal())
         RHS = np.asarray(M @ U_pre)
-        data = min_quad_with_fixed_mg_precompute(LHS, None, mg, colorings=colorings)
-        colorings = data.colorings
-        U, r_his, ok = min_quad_with_fixed_mg_solve(
-            data, RHS, z0=U_pre, tolerance=mg_tol, max_iter=20
+        U, r_his, ok = solver.solve(
+            vals, RHS, z0=U_pre, tolerance=mg_tol, max_iter=20
         )
         U = normalize_unit_area(U, F)
         print(

@@ -51,6 +51,59 @@ def vertex_normals(V, F) -> np.ndarray:
     return N / nrm
 
 
+class BalloonNewtonSolver:
+    """Per-Newton-iteration Hessian refresh on the fixed block hierarchy.
+
+    The reference re-runs the full multigrid precompute (Eigen SpGEMM chain
+    + LDLT) every Newton iteration (implicit_euler_mg_balloon.h:75); here
+    the symbolic structure is cached once and each iteration only scatters
+    the new per-face 9x9 stiffness blocks into the finest nnz values and
+    runs the jitted refresh+solve program (solver/refresh.py).
+    """
+
+    def __init__(self, shell: ShellEnergy, M: sp.csr_matrix, mg, cfg=None,
+                 dtype=None):
+        import jax.numpy as jnp
+        from surface_multigrid_code_tpu.solver.refresh import (
+            RefreshableMGSolver,
+            csr_slot_map,
+        )
+
+        cfg = cfg or SolveConfig(smoother=SmootherType.MULTICOLOR_GS)
+        n3 = M.shape[0]
+        K_pat = sp.coo_matrix(
+            (np.ones(shell._rows.shape[0]), (shell._rows, shell._cols)),
+            shape=(n3, n3),
+        ).tocsr()
+        pattern = (K_pat + M).tocsr()
+        pattern.sum_duplicates()
+        self.pattern = pattern
+        self.slots = csr_slot_map(pattern, shell._rows, shell._cols)
+        self.Mdiag_slots = csr_slot_map(
+            pattern, np.arange(n3), np.arange(n3)
+        )
+        self.Mdiag = np.asarray(M.diagonal())
+        self.solver = RefreshableMGSolver(
+            mg, pattern, cfg=cfg, dtype=dtype or jnp.float64
+        )
+        self.shell = shell
+
+    def hessian_values(self, x_flat, dt) -> np.ndarray:
+        """A0_vals for H = M + dt^2 K at the current positions."""
+        x9 = np.asarray(x_flat, dtype=np.float64).reshape(-1, 3)[
+            self.shell.F
+        ].reshape(-1, 9)
+        import jax.numpy as jnp
+
+        Hf = np.asarray(self.shell._face_hess(jnp.asarray(x9), self.shell.abars))
+        vals = np.bincount(
+            self.slots, weights=dt * dt * Hf.reshape(-1),
+            minlength=self.pattern.nnz,
+        )
+        vals[self.Mdiag_slots] += self.Mdiag
+        return vals
+
+
 def implicit_euler_mg_balloon(
     shell: ShellEnergy,
     M: sp.csr_matrix,
@@ -62,12 +115,14 @@ def implicit_euler_mg_balloon(
     mg_tolerance: float = 2e-1,
     n_newton: int = 10,
     cfg: SolveConfig | None = None,
-    colorings=None,
+    newton_solver: "BalloonNewtonSolver | None" = None,
     verbose: bool = True,
 ):
     """One implicit Euler step; mutates nothing, returns (curPos, qdot,
-    colorings)."""
+    newton_solver)."""
     cfg = cfg or SolveConfig(smoother=SmootherType.MULTICOLOR_GS)
+    if newton_solver is None:
+        newton_solver = BalloonNewtonSolver(shell, M, mg, cfg=cfg)
     qdot0 = qdot.copy()
     curPos0 = curPos.copy()
     qdot = qdot.copy()
@@ -82,16 +137,11 @@ def implicit_euler_mg_balloon(
 
     for it in range(n_newton):
         G = shell.gradient(curPos.reshape(-1))
-        K = shell.hessian(curPos.reshape(-1))
-        H = (M + dt * dt * K).tocsr()
+        vals = newton_solver.hessian_values(curPos.reshape(-1), dt)
         g = -(M @ (qdot - qdot0) + dt * G + dt * fExt)
 
-        data = min_quad_with_fixed_mg_precompute(
-            H, None, mg, cfg=cfg, colorings=colorings
-        )
-        colorings = data.colorings
-        dx, r_his, ok = min_quad_with_fixed_mg_solve(
-            data, g, tolerance=mg_tolerance, max_iter=20
+        dx, r_his, ok = newton_solver.solver.solve(
+            vals, g, tolerance=mg_tolerance, max_iter=20
         )
         if verbose:
             print(f"  newton {it}: g.dx = {g @ dx:.6e}, cycles {len(r_his)}")
@@ -108,7 +158,7 @@ def implicit_euler_mg_balloon(
         if verbose:
             print(f"  alpha: {alpha}")
         curPos = curPos0 + dt * qdot.reshape(-1, 3)
-    return curPos, qdot, colorings
+    return curPos, qdot, newton_solver
 
 
 def run_balloon(
@@ -139,15 +189,15 @@ def run_balloon(
 
     curPos = V.copy()
     qdot = np.zeros(3 * V.shape[0])
-    colorings = None
-    Mv = massmatrix(V, F, kind="voronoi")
+    newton_solver = None
     for step in range(n_steps):
         N = vertex_normals(curPos, F)
         Mvd = np.asarray(massmatrix(curPos, F, kind="voronoi").diagonal())
         fExt = (-(N * Mvd[:, None]) * pressure).reshape(-1)
-        curPos, qdot, colorings = implicit_euler_mg_balloon(
+        curPos, qdot, newton_solver = implicit_euler_mg_balloon(
             shell, M, curPos, qdot, fExt, dt, mg,
-            mg_tolerance=mg_tolerance, colorings=colorings, verbose=verbose,
+            mg_tolerance=mg_tolerance, newton_solver=newton_solver,
+            verbose=verbose,
         )
         if verbose:
             print(f"step {step}: max |disp| = {np.abs(curPos - V).max():.4f}")

@@ -103,6 +103,45 @@ def multicolor_gs_sweep(
     return u
 
 
+def chebyshev_smooth(
+    A: ELLMatrix,
+    diag: jnp.ndarray,
+    lam_max,
+    b: jnp.ndarray,
+    u: jnp.ndarray,
+    degree: int = 2,
+    lam_ratio: float = 4.0,
+) -> jnp.ndarray:
+    """Chebyshev-accelerated Jacobi smoothing of given polynomial degree.
+
+    Damps the error on the D^-1 A spectrum interval
+    [lam_max / lam_ratio, lam_max] — the standard multigrid Chebyshev
+    smoother (Adams et al.).  Per step it is one SpMV + axpys, no masked
+    scatters: the bandwidth-optimal smoother shape on TPU, and unlike
+    Gauss-Seidel it is order-independent so it shards cleanly.
+    """
+    lam_min = lam_max / lam_ratio
+    theta = 0.5 * (lam_max + lam_min)
+    delta = 0.5 * (lam_max - lam_min)
+
+    def dinv(v):
+        return v / diag if v.ndim == 1 else v / diag[:, None]
+
+    r = dinv(b - ell_spmv(A, u))
+    alpha = 1.0 / theta
+    d = alpha * r
+    u = u + d
+    sigma = theta / delta
+    rho = 1.0 / sigma
+    for _ in range(degree - 1):
+        rho_new = 1.0 / (2.0 * sigma - rho)
+        r = dinv(b - ell_spmv(A, u))
+        d = rho_new * rho * d + (2.0 * rho_new / delta) * r
+        u = u + d
+        rho = rho_new
+    return u
+
+
 def jacobi_sweep(
     A: ELLMatrix,
     diag: jnp.ndarray,

@@ -184,6 +184,45 @@ def mg_precompute(
     return out
 
 
+def save_hierarchy(path, mg: list[MGLevel]) -> None:
+    """Serialize a hierarchy (per-level V/F + CSR prolongations) to npz —
+    the checkpoint the reference never persists (SURVEY.md §5.4); the
+    expensive SSP host precompute becomes reusable across runs."""
+    arrs: dict[str, np.ndarray] = {"n_levels": np.asarray([len(mg)])}
+    for lv, L in enumerate(mg):
+        arrs[f"V{lv}"] = L.V
+        arrs[f"F{lv}"] = L.F
+        if lv > 0:
+            P = L.P_full.tocsr()
+            arrs[f"P{lv}_indptr"] = P.indptr
+            arrs[f"P{lv}_indices"] = P.indices
+            arrs[f"P{lv}_data"] = P.data
+            arrs[f"P{lv}_shape"] = np.asarray(P.shape)
+    np.savez_compressed(path, **arrs)
+
+
+def load_hierarchy(path) -> list[MGLevel]:
+    with np.load(path) as z:
+        n = int(z["n_levels"][0])
+        mg = []
+        for lv in range(n):
+            level = MGLevel(V=z[f"V{lv}"], F=z[f"F{lv}"])
+            if lv > 0:
+                P = sp.csr_matrix(
+                    (
+                        z[f"P{lv}_data"],
+                        z[f"P{lv}_indices"],
+                        z[f"P{lv}_indptr"],
+                    ),
+                    shape=tuple(z[f"P{lv}_shape"]),
+                )
+                level.P_full = P
+                level.P = P
+                level.PT = P.T.tocsr()
+            mg.append(level)
+    return mg
+
+
 def mg_precompute_block(
     V: np.ndarray,
     F: np.ndarray,

@@ -191,14 +191,18 @@ def min_quad_with_fixed_mg_solve(
         rhs_u = RHS
         z_u = z0
 
-    z_dev, r_his_dev, k = solve_loop(
-        data.hier,
-        jnp.asarray(rhs_u, dtype=data.dtype),
-        jnp.asarray(z_u, dtype=data.dtype),
-        jnp.asarray(float(tolerance), dtype=data.dtype),
-        int(max_iter),
-        data.cfg,
-    )
+    from surface_multigrid_code_tpu.utils.profiler import profile_region
+
+    with profile_region("MG: total VCycle", trace=True):
+        z_dev, r_his_dev, k = solve_loop(
+            data.hier,
+            jnp.asarray(rhs_u, dtype=data.dtype),
+            jnp.asarray(z_u, dtype=data.dtype),
+            jnp.asarray(float(tolerance), dtype=data.dtype),
+            int(max_iter),
+            data.cfg,
+        )
+        z_dev.block_until_ready()
     z_u = np.asarray(z_dev, dtype=np.float64)
     k = int(k)
     r_his = [float(r) for r in np.asarray(r_his_dev)[:k]]

@@ -1,0 +1,247 @@
+"""Refreshable multigrid solver: device-side value-only rebuilds.
+
+The applications re-run `min_quad_with_fixed_mg_precompute` with a fresh
+matrix on a FIXED hierarchy in their hot loops — MCF once per time step
+(reference 05_example_mean_curvature_flow/main.cpp:74) and the balloon sim
+once per Newton iteration (implicit_euler_mg_balloon.h:75).  The reference
+pays a full Eigen SpGEMM chain + LDLT factorization each time.
+
+Here the symbolic work (sparsity, ELL layouts, colorings, halo plans) is
+done once; each refresh is a single jitted device program:
+  finest nnz values -> Galerkin chain (gather + segment_sum per level)
+  -> ELL data scatters -> dense coarsest assembly + Cholesky inverse.
+The subsequent V-cycle solve reuses the standard solve_loop.
+
+Requirement: refreshed systems must be SPD (true for MCF's M - delta*L and
+the balloon's M + dt^2 K), since the coarsest level is Cholesky-inverted on
+device; the one-shot singular-Poisson path keeps the host eigh pseudo-
+inverse in build_device_hierarchy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+
+from surface_multigrid_code_tpu.config import SolveConfig, SmootherType
+from surface_multigrid_code_tpu.ops.smoothers import (
+    color_groups,
+    greedy_coloring,
+    group_scales,
+)
+from surface_multigrid_code_tpu.ops.sparse import ELLMatrix, ell_from_csr
+from surface_multigrid_code_tpu.solver.galerkin import (
+    GalerkinPlan,
+    build_galerkin_plan,
+    refresh_values,
+)
+from surface_multigrid_code_tpu.solver.vcycle import (
+    DeviceHierarchy,
+    DeviceLevel,
+    solve_loop,
+)
+
+
+class RefreshableMGSolver:
+    """Fixed hierarchy + fixed finest sparsity; per-solve value refresh.
+
+    mg: MGLevel list from mg_precompute[_block]；
+    A0_pattern: finest-level CSR whose sparsity every refreshed matrix
+    shares (values are irrelevant here).
+    """
+
+    def __init__(
+        self,
+        mg,
+        A0_pattern: sp.spmatrix,
+        cfg: SolveConfig | None = None,
+        dtype=jnp.float32,
+        coarsest_shift: float = 1e-12,
+    ):
+        self.cfg = cfg or SolveConfig(smoother=SmootherType.JACOBI)
+        self.dtype = dtype
+        A0 = A0_pattern.tocsr().copy()
+        A0.sum_duplicates()
+        self.A0_pattern = A0
+        Ps = [mg[lv].P_full.tocsr() for lv in range(1, len(mg))]
+        self.plan: GalerkinPlan = build_galerkin_plan(A0, Ps)
+        self.P_ell = [ell_from_csr(P, dtype=dtype) for P in Ps]
+        self.PT_ell = [ell_from_csr(P.T.tocsr(), dtype=dtype) for P in Ps]
+        self.coarsest_shift = float(coarsest_shift)
+
+        # static per-level metadata
+        self._plans = [self.plan.lvl0, *self.plan.levels]
+        self._groups = []
+        self._group_scales = []
+        if self.cfg.smoother == SmootherType.MULTICOLOR_GS:
+            for pl_ in self._plans[:-1]:
+                n, w = pl_.ell_shape
+                rows = np.repeat(np.arange(n), w)
+                pat = sp.coo_matrix(
+                    (
+                        np.ones(n * w),
+                        (rows, np.asarray(pl_.ell_indices).ravel()),
+                    ),
+                    shape=(n, n),
+                ).tocsr()
+                color = greedy_coloring(pat)
+                gs = color_groups(color)
+                self._groups.append(tuple(jnp.asarray(g) for g in gs))
+                self._group_scales.append(
+                    tuple(jnp.asarray(s, dtype=dtype) for s in group_scales(gs))
+                )
+
+        self._refresh = jax.jit(self._refresh_impl)
+        # one fused program: refresh + iterate
+        self._solve = jax.jit(
+            self._solve_impl, static_argnames=("max_iter",)
+        )
+
+    # ------------------------------------------------------------------
+    def _refresh_impl(self, A0_vals: jnp.ndarray) -> DeviceHierarchy:
+        levels_vals = refresh_values(self.plan, A0_vals.astype(self.dtype))
+        levels = []
+        L = len(self._plans)
+        for lv, (pl_, (data, diag)) in enumerate(zip(self._plans, levels_vals)):
+            n, w = pl_.ell_shape
+            ell = ELLMatrix(indices=pl_.ell_indices, data=data, n_cols=n)
+            lam_max = None
+            if self.cfg.smoother == SmootherType.CHEBYSHEV and lv < L - 1:
+                lam_max = _device_lam_max(ell, diag)
+            levels.append(
+                DeviceLevel(
+                    A=ell,
+                    diag=diag,
+                    P=None if lv == 0 else self.P_ell[lv - 1],
+                    PT=None if lv == 0 else self.PT_ell[lv - 1],
+                    groups=self._groups[lv] if self._groups and lv < L - 1 else (),
+                    group_scale=(
+                        self._group_scales[lv]
+                        if self._group_scales and lv < L - 1
+                        else ()
+                    ),
+                    lam_max=lam_max,
+                )
+            )
+        # dense coarsest + Cholesky inverse (device; SPD assumed)
+        pl_ = self._plans[-1]
+        n, w = pl_.ell_shape
+        data, diag = levels_vals[-1]
+        rows = jnp.repeat(jnp.arange(n), w).reshape(n, w)
+        dense = jnp.zeros((n, n), dtype=self.dtype)
+        dense = dense.at[rows, pl_.ell_indices].add(data)
+        dense = dense + self.coarsest_shift * jnp.eye(n, dtype=self.dtype)
+        chol = jnp.linalg.cholesky(dense)
+        eye = jnp.eye(n, dtype=self.dtype)
+        inv = jax.scipy.linalg.cho_solve((chol, True), eye)
+        return DeviceHierarchy(levels=tuple(levels), coarse_inv=inv)
+
+    def _solve_impl(self, A0_vals, rhs, z0, tol, max_iter: int):
+        hier = self._refresh_impl(A0_vals)
+        return solve_loop(hier, rhs, z0, tol, max_iter, self.cfg)
+
+    # ------------------------------------------------------------------
+    def solve(
+        self,
+        A0_vals: np.ndarray,
+        rhs: np.ndarray,
+        z0: np.ndarray | None = None,
+        tolerance: float = 1e-3,
+        max_iter: int = 20,
+    ):
+        """Refresh + V-cycle iterate in one device program.
+
+        A0_vals: nnz values in A0_pattern's CSR order.  Returns
+        (z, r_his, converged) like min_quad_with_fixed_mg_solve.
+        """
+        rhs_d = jnp.asarray(rhs, dtype=self.dtype)
+        z0_d = (
+            jnp.zeros_like(rhs_d)
+            if z0 is None
+            else jnp.asarray(z0, dtype=self.dtype)
+        )
+        from surface_multigrid_code_tpu.utils.profiler import profile_region
+
+        with profile_region("MG: refresh+solve", trace=True):
+            z, r_his, k = self._solve(
+                jnp.asarray(A0_vals),
+                rhs_d,
+                z0_d,
+                jnp.asarray(float(tolerance), dtype=self.dtype),
+                int(max_iter),
+            )
+            z.block_until_ready()
+        k = int(k)
+        r_list = [float(r) for r in np.asarray(r_his)[:k]]
+        converged = bool(r_list and r_list[-1] <= tolerance)
+        return np.asarray(z, dtype=np.float64), r_list, converged
+
+
+def _device_lam_max(A: ELLMatrix, diag, iters: int = 12):
+    """Power iteration for the D^-1 A spectral bound, on device."""
+    from surface_multigrid_code_tpu.ops.sparse import ell_spmv
+
+    def body(i, xl):
+        x, lam = xl
+        y = ell_spmv(A, x) / diag
+        lam = jnp.linalg.norm(y)
+        return (y / lam, lam)
+
+    x0 = jnp.ones((A.n_rows,), dtype=diag.dtype) / jnp.sqrt(
+        jnp.asarray(A.n_rows, dtype=diag.dtype)
+    )
+    _, lam = jax.lax.fori_loop(0, iters, body, (x0, jnp.asarray(1.0, diag.dtype)))
+    return 1.1 * lam
+
+
+def csr_slot_map(
+    pattern: sp.csr_matrix, rows: np.ndarray, cols: np.ndarray
+) -> np.ndarray:
+    """nnz slot of every (row, col) pair in the pattern (vectorized).
+
+    Used to scatter application-assembled entries (e.g. per-face stiffness
+    blocks) straight into A0_vals without building a scipy matrix."""
+    pattern = pattern.tocsr()
+    indptr, indices = pattern.indptr, pattern.indices
+    lo = indptr[rows]
+    hi = indptr[rows + 1]
+    # searchsorted within each row's slice via global trick: indices are
+    # sorted per row, so search the whole array bounded by [lo, hi)
+    slots = np.empty(rows.shape[0], dtype=np.int64)
+    # vectorized per-row searchsorted using offsets into a concatenated view
+    # (rows have small degree; do it with np.searchsorted on subarrays in a
+    # grouped pass)
+    order = np.argsort(rows, kind="stable")
+    rs = rows[order]
+    cs = cols[order]
+    out = np.empty_like(slots)
+    start = 0
+    uniq, starts = np.unique(rs, return_index=True)
+    starts = np.append(starts, rs.shape[0])
+    for k, r in enumerate(uniq):
+        seg = slice(starts[k], starts[k + 1])
+        row_idx = indices[indptr[r] : indptr[r + 1]]
+        pos = np.searchsorted(row_idx, cs[seg])
+        assert np.all(row_idx[pos] == cs[seg]), "entry outside pattern"
+        out[seg] = indptr[r] + pos
+    slots[order] = out
+    return slots
+
+
+def csr_value_map(target: sp.csr_matrix, pattern: sp.csr_matrix) -> np.ndarray:
+    """Index map m with pattern.data-order values: vals[m] accumulates
+    target values into the pattern's nnz slots (target pattern must be a
+    subset).  Utility for building A0_vals from application matrices."""
+    pattern = pattern.tocsr()
+    target = target.tocsr()
+    m = np.zeros(target.nnz, dtype=np.int64)
+    for i in range(target.shape[0]):
+        plo, phi = pattern.indptr[i], pattern.indptr[i + 1]
+        tlo, thi = target.indptr[i], target.indptr[i + 1]
+        pos = np.searchsorted(pattern.indices[plo:phi], target.indices[tlo:thi])
+        assert np.all(pattern.indices[plo:phi][pos] == target.indices[tlo:thi])
+        m[tlo:thi] = plo + pos
+    return m

@@ -32,6 +32,7 @@ from surface_multigrid_code_tpu.ops.smoothers import (
     group_scales,
     multicolor_gs_sweep,
     jacobi_sweep,
+    chebyshev_smooth,
 )
 
 
@@ -40,6 +41,7 @@ from surface_multigrid_code_tpu.ops.smoothers import (
 class DeviceLevel:
     """Per-level device data; P/PT map this level to the next-finer level
     (as in reference mg_data: mg[lv].P is n_{lv-1} x n_lv). None at level 0.
+    lam_max estimates the largest eigenvalue of D^-1 A (Chebyshev smoothing).
     """
 
     A: ELLMatrix
@@ -48,9 +50,13 @@ class DeviceLevel:
     PT: ELLMatrix | None
     groups: tuple[jnp.ndarray, ...]
     group_scale: tuple[jnp.ndarray, ...]
+    lam_max: jnp.ndarray | None = None
 
     def tree_flatten(self):
-        children = (self.A, self.diag, self.P, self.PT, self.groups, self.group_scale)
+        children = (
+            self.A, self.diag, self.P, self.PT, self.groups, self.group_scale,
+            self.lam_max,
+        )
         return children, None
 
     @classmethod
@@ -115,8 +121,16 @@ def build_device_hierarchy(
         else:
             P = ell_from_csr(Ps[lv - 1], dtype=dtype)
             PT = ell_from_csr(Ps[lv - 1].T.tocsr(), dtype=dtype)
+        lam_max = None
+        if cfg.smoother == SmootherType.CHEBYSHEV:
+            lam_max = jnp.asarray(
+                _power_iteration_lam_max(A), dtype=dtype
+            )
         levels.append(
-            DeviceLevel(A=ell, diag=diag, P=P, PT=PT, groups=groups, group_scale=group_scale)
+            DeviceLevel(
+                A=ell, diag=diag, P=P, PT=PT, groups=groups,
+                group_scale=group_scale, lam_max=lam_max,
+            )
         )
     # Coarse solve: the reference prefactorizes with SimplicialLDLT after a
     # +1e-12 diagonal shift (src/min_quad_with_fixed_mg.cpp:31-48).  On TPU
@@ -136,12 +150,35 @@ def build_device_hierarchy(
     )
 
 
-def _sweep(level: DeviceLevel, b, u, cfg: SolveConfig):
-    if cfg.smoother == SmootherType.MULTICOLOR_GS and level.groups:
-        return multicolor_gs_sweep(
-            level.A, level.diag, level.groups, level.group_scale, b, u
+def _power_iteration_lam_max(A: sp.spmatrix, iters: int = 20) -> float:
+    """Largest eigenvalue of D^-1 A via host power iteration (Chebyshev
+    smoothing bound); 10% safety margin as is conventional."""
+    dinv = 1.0 / A.diagonal()
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=A.shape[0])
+    lam = 1.0
+    for _ in range(iters):
+        x = dinv * (A @ x)
+        lam = np.linalg.norm(x)
+        x /= lam
+    return 1.1 * float(lam)
+
+
+def _relax(level: DeviceLevel, b, u, cfg: SolveConfig, n_iter: int):
+    """n_iter relaxation steps (the reference's `relax` x N,
+    src/mg_VCycle.cpp:36,57,113-178)."""
+    if cfg.smoother == SmootherType.CHEBYSHEV and level.lam_max is not None:
+        return chebyshev_smooth(
+            level.A, level.diag, level.lam_max, b, u, degree=n_iter
         )
-    return jacobi_sweep(level.A, level.diag, b, u, weight=cfg.jacobi_weight)
+    for _ in range(n_iter):
+        if cfg.smoother == SmootherType.MULTICOLOR_GS and level.groups:
+            u = multicolor_gs_sweep(
+                level.A, level.diag, level.groups, level.group_scale, b, u
+            )
+        else:
+            u = jacobi_sweep(level.A, level.diag, b, u, weight=cfg.jacobi_weight)
+    return u
 
 
 def vcycle(
@@ -157,8 +194,7 @@ def vcycle(
         if lv == hier.n_levels - 1:
             # additive coarse correction (reference src/mg_VCycle.cpp:181-201)
             return U + hier.coarse_inv @ B
-        for _ in range(cfg.pre_relax_iter):
-            U = _sweep(level, B, U, cfg)
+        U = _relax(level, B, U, cfg, cfg.pre_relax_iter)
         r = B - ell_spmv(level.A, U)
         nxt = hier.levels[lv + 1]
         rc = ell_spmv(nxt.PT, r)
@@ -167,8 +203,7 @@ def vcycle(
         )
         uc = go(lv + 1, rc, uc)
         U = U + ell_spmv(nxt.P, uc)
-        for _ in range(cfg.post_relax_iter):
-            U = _sweep(level, B, U, cfg)
+        U = _relax(level, B, U, cfg, cfg.post_relax_iter)
         return U
 
     return go(0, b, u)

@@ -45,12 +45,15 @@ def SSP_decimate(
       IM   — coarse vertex -> original vertex id (reference I);
       log  — flattened collapse log dict (includes IM/IMF/FIM for queries).
     """
-    out = _native.decimate(
-        VO, FO, int(tarF), int(dec_type),
-        random_variant=seed is not None,
-        seed=0 if seed is None else int(seed),
-        verbose=verbose,
-    )
+    from surface_multigrid_code_tpu.utils.profiler import profile_region
+
+    with profile_region("SSP: decimate"):
+        out = _native.decimate(
+            VO, FO, int(tarF), int(dec_type),
+            random_variant=seed is not None,
+            seed=0 if seed is None else int(seed),
+            verbose=verbose,
+        )
     if out is None:
         return False, None, None, None, None, None
     log = {k: out[k] for k in LOG_KEYS}
