@@ -24,9 +24,12 @@ from surface_multigrid_code_tpu.config import (
 from surface_multigrid_code_tpu.solver.hierarchy import (
     get_prolong,
     get_prolong_block,
+    load_hierarchy,
     mg_precompute,
     mg_precompute_block,
+    save_hierarchy,
 )
+from surface_multigrid_code_tpu.solver.refresh import RefreshableMGSolver
 from surface_multigrid_code_tpu.solver.mqwf_mg import (
     min_quad_with_fixed_mg_precompute,
     min_quad_with_fixed_mg_solve,
@@ -49,7 +52,10 @@ __all__ = [
     "mg_precompute_block",
     "min_quad_with_fixed_mg_precompute",
     "min_quad_with_fixed_mg_solve",
+    "RefreshableMGSolver",
     "SSP_decimate",
     "query_fine_to_coarse",
     "query_coarse_to_fine",
+    "save_hierarchy",
+    "load_hierarchy",
 ]
