@@ -1,0 +1,461 @@
+"""Explicit halo-exchange multigrid over a 1-D device mesh (shard_map).
+
+parallel/spmd.py lets GSPMD insert collectives automatically; this module
+is the hand-scheduled version: every level's rows are partitioned into
+equal contiguous blocks, and each SpMV exchanges ONLY the halo — the
+vector entries other devices actually reference (the 1-ring / P-stencil
+boundary, SURVEY.md §5.7).
+
+Plan (host, once per hierarchy):
+  - per level, per device: `send` = sorted local row ids referenced by any
+    other device's stencil, padded to the per-level max;
+  - every matrix's column ids are remapped into the device-local address
+    space [0, R + D*S): the first R entries are the local x block, the rest
+    index the all-gathered publish buffer.
+
+Runtime (inside one shard_map over axis "rows"):
+    published = all_gather(x_local[send_local])       # [D, S] -> flat
+    xx = concat(x_local, published)                   # local address space
+    y_local = ELL-SpMV(A_local, xx)
+so each level's SpMV costs exactly one all-gather of its halo (thin:
+O(boundary) not O(n)), and smoothing stays order-free (Jacobi/Chebyshev).
+The coarsest level is gathered and solved replicated with the dense
+pseudo-inverse, then sliced back.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from surface_multigrid_code_tpu.config import SolveConfig, SmootherType
+
+
+def _pad_to(n: int, mult: int) -> int:
+    return ((n + mult - 1) // mult) * mult
+
+
+def _ell_arrays(A: sp.csr_matrix, n_rows: int, width_min: int = 1):
+    """Padded ELL (indices, data) for the first n_rows rows of A."""
+    A = A.tocsr()
+    counts = np.diff(A.indptr)
+    width = max(int(counts.max(initial=0)), width_min)
+    idx = np.zeros((n_rows, width), dtype=np.int64)
+    dat = np.zeros((n_rows, width), dtype=np.float64)
+    rows = np.repeat(np.arange(A.shape[0]), counts)
+    slots = np.arange(A.nnz) - np.repeat(A.indptr[:-1], counts)
+    idx[rows, slots] = A.indices
+    dat[rows, slots] = A.data
+    return idx, dat
+
+
+@dataclass
+class HaloLevelHost:
+    """Host-side per-level plan before device upload."""
+
+    R: int                      # rows per device
+    S: int                      # publish slots per device
+    send: np.ndarray            # [D, S] local row ids each device publishes
+    A_idx: np.ndarray           # [D*R, w] local-address column ids
+    A_dat: np.ndarray
+    diag: np.ndarray            # [D*R]
+    # P maps this level (coarse, cols) to finer level (rows); stored on the
+    # FINER level's partition; PT on this level's partition
+    P_idx: np.ndarray | None
+    P_dat: np.ndarray | None
+    PT_idx: np.ndarray | None
+    PT_dat: np.ndarray | None
+    lam_max: float
+
+
+def _remap_columns(cols: np.ndarray, D: int, R: int, send_lists, dev: int):
+    """Global column id -> device-local address for device `dev`.
+
+    Local rows [dev*R, (dev+1)*R) -> [0, R); any other referenced row must
+    appear in its owner's send list -> R + owner*S + slot.
+    """
+    out = np.empty_like(cols)
+    owner = cols // R
+    local = owner == dev
+    out[local] = cols[local] - dev * R
+    S = send_lists.shape[1]
+    for od in range(D):
+        m = (~local) & (owner == od)
+        if not m.any():
+            continue
+        slot = np.searchsorted(send_lists[od], cols[m] - od * R)
+        assert np.all(send_lists[od][slot] == cols[m] - od * R)
+        out[m] = R + od * S + slot
+    return out
+
+
+def _build_level(A: sp.csr_matrix, D: int, extra_row_refs=None):
+    """Partition one level: returns (R, send [D,S], remap function data).
+
+    extra_row_refs: additional (row-referencing) matrices whose stencils
+    also read this level's vector (e.g. P reading the coarse vector) —
+    their column references are included in the halo sets.
+    """
+    n = A.shape[0]
+    R = _pad_to(n, D) // D
+    n_pad = R * D
+    Ap = sp.csr_matrix(A, copy=True)
+    Ap.resize((n_pad, n_pad))
+    # collect, per owner device, the set of rows referenced by OTHER devices
+    need: list[set] = [set() for _ in range(D)]
+
+    def collect(M: sp.csr_matrix, row_of_block):
+        M = M.tocsr()
+        for d in range(D):
+            lo, hi = row_of_block(d)
+            cols = M.indices[M.indptr[min(lo, M.shape[0])] : M.indptr[min(hi, M.shape[0])]]
+            for od in np.unique(cols // R):
+                if od == d:
+                    continue
+                sel = cols[cols // R == od]
+                need[od].update((sel - od * R).tolist())
+
+    collect(Ap, lambda d: (d * R, (d + 1) * R))
+    if extra_row_refs:
+        for M in extra_row_refs:
+            Mp = sp.csr_matrix(M, copy=True)
+            Mp.resize((_pad_to(M.shape[0], D), n_pad))
+            RM = Mp.shape[0] // D
+            collect(Mp, lambda d: (d * RM, (d + 1) * RM))
+    S = max(1, max(len(s) for s in need))
+    send = np.zeros((D, S), dtype=np.int64)
+    for d in range(D):
+        ids = np.sort(np.fromiter(need[d], dtype=np.int64, count=len(need[d])))
+        send[d, : ids.shape[0]] = ids
+        if ids.shape[0] < S:
+            send[d, ids.shape[0] :] = ids[-1] if ids.shape[0] else 0
+    return Ap, R, send
+
+
+class HaloHierarchy:
+    """Sharded hierarchy + jitted shard_map solve."""
+
+    def __init__(
+        self,
+        As: list[sp.spmatrix],
+        Ps: list[sp.spmatrix],
+        mesh: Mesh,
+        cfg: SolveConfig | None = None,
+        dtype=jnp.float32,
+    ):
+        self.mesh = mesh
+        self.cfg = cfg or SolveConfig(smoother=SmootherType.CHEBYSHEV)
+        self.dtype = dtype
+        D = mesh.shape["rows"]
+        self.D = D
+        L = len(As)
+        self.n0 = As[0].shape[0]
+
+        host_levels: list[HaloLevelHost] = []
+        for lv in range(L):
+            A = As[lv].tocsr()
+            # This level's vector is read by: its A stencil, PT_lv (coarse
+            # rows reading fine entries during restriction), and P_{lv-1}
+            # (finer rows reading THIS level's entries during prolongation).
+            extra = []
+            if lv < L - 1:
+                extra.append(Ps[lv].T.tocsr())  # coarse rows reading fine cols
+            if lv > 0:
+                extra.append(Ps[lv - 1].tocsr())  # finer rows reading our cols
+            Ap, R, send = _build_level(A, D, extra_row_refs=extra)
+            S = send.shape[1]
+            n_pad = R * D
+            # identity-pad rows beyond n
+            n = A.shape[0]
+            if n_pad > n:
+                pad = np.arange(n, n_pad)
+                Ap = (Ap + sp.coo_matrix(
+                    (np.ones(pad.shape[0]), (pad, pad)), shape=(n_pad, n_pad)
+                )).tocsr()
+            diag = Ap.diagonal()
+            # per-device remapped ELL
+            idxs, dats = [], []
+            w = None
+            for d in range(D):
+                blk = Ap[d * R : (d + 1) * R]
+                bi, bd = _ell_arrays(blk, R)
+                bi = _remap_columns(bi.reshape(-1), D, R, send, d).reshape(bi.shape)
+                idxs.append(bi)
+                dats.append(bd)
+                w = bi.shape[1] if w is None else max(w, bi.shape[1])
+            # unify widths
+            for k in range(D):
+                if idxs[k].shape[1] < w:
+                    padw = w - idxs[k].shape[1]
+                    idxs[k] = np.pad(idxs[k], [(0, 0), (0, padw)])
+                    dats[k] = np.pad(dats[k], [(0, 0), (0, padw)])
+            A_idx = np.concatenate(idxs)
+            A_dat = np.concatenate(dats)
+            lam = 0.0
+            if self.cfg.smoother == SmootherType.CHEBYSHEV:
+                from surface_multigrid_code_tpu.solver.vcycle import (
+                    _power_iteration_lam_max,
+                )
+
+                lam = _power_iteration_lam_max(As[lv].tocsr())
+            host_levels.append(
+                HaloLevelHost(
+                    R=R, S=S, send=send, A_idx=A_idx, A_dat=A_dat, diag=diag,
+                    P_idx=None, P_dat=None, PT_idx=None, PT_dat=None,
+                    lam_max=lam,
+                )
+            )
+        # transfer operators: P on fine partition (rows), columns COARSE
+        # (read via the coarse level's halo space); PT on coarse partition,
+        # columns FINE (read via fine level's halo space)
+        for lv in range(L - 1):
+            fine, coarse = host_levels[lv], host_levels[lv + 1]
+            Pmat = Ps[lv].tocsr()
+            Pp = sp.csr_matrix(Pmat, copy=True)
+            Pp.resize((fine.R * D, coarse.R * D))
+            idxs, dats = [], []
+            w = None
+            for d in range(D):
+                blk = Pp[d * fine.R : (d + 1) * fine.R]
+                bi, bd = _ell_arrays(blk, fine.R)
+                bi = _remap_columns(
+                    bi.reshape(-1), D, coarse.R, coarse.send, d
+                ).reshape(bi.shape)
+                idxs.append(bi)
+                dats.append(bd)
+                w = bi.shape[1] if w is None else max(w, bi.shape[1])
+            for k in range(D):
+                if idxs[k].shape[1] < w:
+                    padw = w - idxs[k].shape[1]
+                    idxs[k] = np.pad(idxs[k], [(0, 0), (0, padw)])
+                    dats[k] = np.pad(dats[k], [(0, 0), (0, padw)])
+            host_levels[lv].P_idx = np.concatenate(idxs)
+            host_levels[lv].P_dat = np.concatenate(dats)
+            PT = Pmat.T.tocsr()
+            PTp = sp.csr_matrix(PT, copy=True)
+            PTp.resize((coarse.R * D, fine.R * D))
+            idxs, dats = [], []
+            w = None
+            for d in range(D):
+                blk = PTp[d * coarse.R : (d + 1) * coarse.R]
+                bi, bd = _ell_arrays(blk, coarse.R)
+                bi = _remap_columns(
+                    bi.reshape(-1), D, fine.R, fine.send, d
+                ).reshape(bi.shape)
+                idxs.append(bi)
+                dats.append(bd)
+                w = bi.shape[1] if w is None else max(w, bi.shape[1])
+            for k in range(D):
+                if idxs[k].shape[1] < w:
+                    padw = w - idxs[k].shape[1]
+                    idxs[k] = np.pad(idxs[k], [(0, 0), (0, padw)])
+                    dats[k] = np.pad(dats[k], [(0, 0), (0, padw)])
+            host_levels[lv].PT_idx = np.concatenate(idxs)
+            host_levels[lv].PT_dat = np.concatenate(dats)
+
+        # coarsest dense pseudo-inverse (replicated)
+        nL = host_levels[-1].R * D
+        Ac = sp.csr_matrix(As[-1], copy=True)
+        Ac.resize((nL, nL))
+        n_last = As[-1].shape[0]
+        if nL > n_last:
+            pad = np.arange(n_last, nL)
+            Ac = (Ac + sp.coo_matrix(
+                (np.ones(pad.shape[0]), (pad, pad)), shape=(nL, nL)
+            )).tocsr()
+        Acd = 0.5 * (Ac.toarray() + Ac.toarray().T)
+        wv, U = np.linalg.eigh(Acd)
+        cutoff = 1e-10 * float(np.abs(wv).max())
+        inv_w = np.where(np.abs(wv) > cutoff, 1.0 / np.where(wv == 0, 1, wv), 0.0)
+        Cinv = (U * inv_w) @ U.T
+
+        # upload: row-sharded leaves
+        shard = NamedSharding(mesh, P("rows", None))
+        vec = NamedSharding(mesh, P("rows"))
+        rep = NamedSharding(mesh, P())
+        put = jax.device_put
+        self.levels = []
+        for hl in host_levels:
+            self.levels.append(
+                dict(
+                    R=hl.R,
+                    S=hl.S,
+                    send=put(jnp.asarray(hl.send), shard),
+                    A_idx=put(jnp.asarray(hl.A_idx, dtype=jnp.int32), shard),
+                    A_dat=put(jnp.asarray(hl.A_dat, dtype=dtype), shard),
+                    diag=put(jnp.asarray(hl.diag, dtype=dtype), vec),
+                    P_idx=None if hl.P_idx is None else put(
+                        jnp.asarray(hl.P_idx, dtype=jnp.int32), shard
+                    ),
+                    P_dat=None if hl.P_dat is None else put(
+                        jnp.asarray(hl.P_dat, dtype=dtype), shard
+                    ),
+                    PT_idx=None if hl.PT_idx is None else put(
+                        jnp.asarray(hl.PT_idx, dtype=jnp.int32), shard
+                    ),
+                    PT_dat=None if hl.PT_dat is None else put(
+                        jnp.asarray(hl.PT_dat, dtype=dtype), shard
+                    ),
+                    lam_max=jnp.asarray(hl.lam_max, dtype=dtype),
+                )
+            )
+        self.coarse_inv = put(jnp.asarray(Cinv, dtype=dtype), rep)
+        self._solve_jit = None
+
+    # ------------------------------------------------------------------
+    def _shard_body(self, lvl_args, coarse_inv, rhs_l, z_l, tol, max_iter, Rs):
+        """Runs per device under shard_map.
+
+        Local block shapes: send [1, S] (row of the [D, S] table), A_idx /
+        A_dat [R, w], diag [R], vectors [R]; Rs are static ints (closure).
+        """
+        cfg = self.cfg
+
+        def exchange(lv, x_l):
+            send = lvl_args[lv]["send"][0]      # local [S]
+            pub = x_l[send]                     # [S]
+            allpub = jax.lax.all_gather(pub, "rows")  # [D, S]
+            return jnp.concatenate([x_l, allpub.reshape(-1)])
+
+        def spmv(idx, dat, xx):
+            return (dat * xx[idx]).sum(axis=1)
+
+        def Ax(lv, x_l):
+            xx = exchange(lv, x_l)
+            return spmv(lvl_args[lv]["A_idx"], lvl_args[lv]["A_dat"], xx)
+
+        def smooth(lv, b_l, u_l, n_iter):
+            diag = lvl_args[lv]["diag"]
+            if cfg.smoother == SmootherType.CHEBYSHEV:
+                lam_max = lvl_args[lv]["lam_max"]
+                lam_min = lam_max / 4.0
+                theta = 0.5 * (lam_max + lam_min)
+                delta = 0.5 * (lam_max - lam_min)
+                r = (b_l - Ax(lv, u_l)) / diag
+                d = r / theta
+                u_l = u_l + d
+                sigma = theta / delta
+                rho = 1.0 / sigma
+                for _ in range(n_iter - 1):
+                    rho_new = 1.0 / (2.0 * sigma - rho)
+                    r = (b_l - Ax(lv, u_l)) / diag
+                    d = rho_new * rho * d + (2.0 * rho_new / delta) * r
+                    u_l = u_l + d
+                    rho = rho_new
+                return u_l
+            for _ in range(n_iter):
+                r = b_l - Ax(lv, u_l)
+                u_l = u_l + cfg.jacobi_weight * r / diag
+            return u_l
+
+        L = len(lvl_args)
+
+        def vcycle(lv, b_l, u_l):
+            if lv == L - 1:
+                # replicate the coarse rhs, dense solve, slice back
+                b_all = jax.lax.all_gather(b_l, "rows").reshape(-1)
+                u_all = coarse_inv @ b_all
+                me = jax.lax.axis_index("rows")
+                R = Rs[lv]
+                return u_l + jax.lax.dynamic_slice(u_all, (me * R,), (R,))
+            u_l = smooth(lv, b_l, u_l, cfg.pre_relax_iter)
+            r_l = b_l - Ax(lv, u_l)
+            # restrict: PT lives on the coarse partition, reads fine halo
+            rr = exchange(lv, r_l)
+            rc = spmv(lvl_args[lv]["PT_idx"], lvl_args[lv]["PT_dat"], rr)
+            uc = jnp.zeros_like(rc)
+            uc = vcycle(lv + 1, rc, uc)
+            ucx = exchange(lv + 1, uc)
+            u_l = u_l + spmv(lvl_args[lv]["P_idx"], lvl_args[lv]["P_dat"], ucx)
+            u_l = smooth(lv, b_l, u_l, cfg.post_relax_iter)
+            return u_l
+
+        def resid_norm(z_l):
+            r = rhs_l - Ax(0, z_l)
+            s = jax.lax.psum((r * r).sum(), "rows")
+            return jnp.sqrt(s)
+
+        def cond(state):
+            k, _, _, done = state
+            return jnp.logical_and(~done, k < max_iter)
+
+        def body(state):
+            k, z_l, r_his, _ = state
+            res = resid_norm(z_l)
+            r_his = r_his.at[k].set(res)
+            done = res < tol
+            z_new = vcycle(0, rhs_l, z_l)
+            z_l = jnp.where(done, z_l, z_new)
+            return (k + 1, z_l, r_his, done)
+
+        r_his0 = jnp.full((max_iter,), -1.0, dtype=rhs_l.dtype)
+        k, z_l, r_his, _ = jax.lax.while_loop(
+            cond, body, (0, z_l, r_his0, jnp.asarray(False))
+        )
+        return z_l, r_his, k
+
+    def solve(self, rhs, z0=None, tolerance=1e-3, max_iter=20):
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+
+        R0 = self.levels[0]["R"]
+        n_pad = R0 * self.D
+        rhs_p = np.zeros(n_pad)
+        rhs_p[: self.n0] = np.asarray(rhs)
+        z0_p = np.zeros(n_pad)
+        if z0 is not None:
+            z0_p[: self.n0] = np.asarray(z0)
+
+        Rs = [lv["R"] for lv in self.levels]
+        lvl_args = [
+            {k: v for k, v in lv.items() if k not in ("R", "S") and v is not None}
+            for lv in self.levels
+        ]
+        args = (lvl_args, self.coarse_inv)
+
+        def spec_of(v):
+            if v.ndim == 0:
+                return P()
+            if v.ndim == 1:
+                return P("rows")
+            return P(*(("rows",) + (None,) * (v.ndim - 1)))
+
+        arg_specs = jax.tree_util.tree_map(spec_of, args)
+        # replicated leaves: lam_max scalars and coarse_inv
+        max_iter = int(max_iter)
+
+        def body(args, rhs_l, z_l, tol):
+            lvls, cinv = args
+            return self._shard_body(lvls, cinv, rhs_l, z_l, tol, max_iter, Rs)
+
+        kwargs = dict(
+            mesh=self.mesh,
+            in_specs=(arg_specs, P("rows"), P("rows"), P()),
+            out_specs=(P("rows"), P(), P()),
+        )
+        try:
+            sm = shard_map(body, check_vma=False, **kwargs)
+        except TypeError:  # older API spelling
+            sm = shard_map(body, check_rep=False, **kwargs)
+        z, r_his, k = jax.jit(sm)(
+            args,
+            jnp.asarray(rhs_p, dtype=self.dtype),
+            jnp.asarray(z0_p, dtype=self.dtype),
+            jnp.asarray(float(tolerance), dtype=self.dtype),
+        )
+        k = int(k)
+        r_list = [float(r) for r in np.asarray(r_his)[:k]]
+        return (
+            np.asarray(z, dtype=np.float64)[: self.n0],
+            r_list,
+            bool(r_list and r_list[-1] <= tolerance),
+        )
