@@ -14,7 +14,7 @@ from surface_multigrid_code_tpu import (
     min_quad_with_fixed_mg_solve,
 )
 from surface_multigrid_code_tpu.ops.laplacian import cotmatrix, massmatrix
-from surface_multigrid_code_tpu.utils.mesh import boundary_vertices, normalize_unit_area
+from surface_multigrid_code_tpu.utils.mesh import boundary_loops, normalize_unit_area
 from surface_multigrid_code_tpu.utils.obj_io import read_obj
 from surface_multigrid_code_tpu.utils.paths import mesh_path
 
@@ -27,7 +27,8 @@ def main():
     mg = mg_precompute(V, F, ratio=0.25, min_coarsest_nv=500, dec_type=1)
 
     A = (-cotmatrix(V, F)).tocsr()
-    b = boundary_vertices(F)
+    # igl::boundary_loop single-loop overload = the longest loop
+    b = boundary_loops(F)[0]
     bval = np.zeros(b.shape[0])
     B = np.asarray(massmatrix(V, F, kind="voronoi") @ np.ones(V.shape[0]))
     B[b] = 0.0

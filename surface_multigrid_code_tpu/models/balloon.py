@@ -104,6 +104,54 @@ class BalloonNewtonSolver:
         return vals
 
 
+def implicit_euler_balloon_direct(
+    shell: ShellEnergy,
+    M: sp.csr_matrix,
+    curPos: np.ndarray,
+    qdot: np.ndarray,
+    fExt: np.ndarray,
+    dt: float,
+    n_newton: int = 10,
+    verbose: bool = True,
+):
+    """Direct-solver implicit Euler (reference implicit_euler_balloon.h —
+    the useMG=false toggle of example 06); sparse LU per Newton iteration
+    instead of multigrid."""
+    from scipy.sparse.linalg import splu
+
+    qdot0 = qdot.copy()
+    curPos0 = curPos.copy()
+    qdot = qdot.copy()
+    curPos = curPos.copy()
+
+    def total_energy(tmp_qdot):
+        Ek = 0.5 * (tmp_qdot - qdot0) @ (M @ (tmp_qdot - qdot0))
+        newPos = curPos0 + dt * tmp_qdot.reshape(-1, 3)
+        return (
+            float(newPos.reshape(-1) @ fExt)
+            + Ek
+            + shell.energy(newPos.reshape(-1))
+        )
+
+    for it in range(n_newton):
+        G = shell.gradient(curPos.reshape(-1))
+        K = shell.hessian(curPos.reshape(-1))
+        H = (M + dt * dt * K).tocsc()
+        g = -(M @ (qdot - qdot0) + dt * G + dt * fExt)
+        dx = splu(H).solve(g)
+        alpha, p, c = 1.0, 0.5, 1e-8
+        s = total_energy(qdot) + c * (g @ dx)
+        while alpha > 1e-8:
+            if total_energy(qdot + alpha * dx) <= s:
+                qdot = qdot + alpha * dx
+                break
+            alpha *= p
+        if verbose:
+            print(f"  newton {it} (direct): alpha {alpha}")
+        curPos = curPos0 + dt * qdot.reshape(-1, 3)
+    return curPos, qdot
+
+
 def implicit_euler_mg_balloon(
     shell: ShellEnergy,
     M: sp.csr_matrix,

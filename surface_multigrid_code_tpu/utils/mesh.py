@@ -102,6 +102,33 @@ def boundary_vertices(F: np.ndarray) -> np.ndarray:
     return np.unique(bf)
 
 
+def boundary_loops(F: np.ndarray) -> list[np.ndarray]:
+    """Ordered boundary loops (longest first).
+
+    Analog of igl::boundary_loop; example 03 constrains the LONGEST loop
+    only (reference 03_mg_solver/main.cpp:49-51 uses igl::boundary_loop's
+    single-loop overload, which returns the longest)."""
+    bf = boundary_facets(F)
+    nxt: dict[int, int] = {}
+    for s, d in bf:
+        nxt[int(s)] = int(d)
+    seen: set[int] = set()
+    loops: list[np.ndarray] = []
+    for start in list(nxt):
+        if start in seen:
+            continue
+        loop = [start]
+        seen.add(start)
+        v = nxt[start]
+        while v != start:
+            loop.append(v)
+            seen.add(v)
+            v = nxt[v]
+        loops.append(np.asarray(loop, dtype=np.int64))
+    loops.sort(key=len, reverse=True)
+    return loops
+
+
 def connect_boundary_to_infinity(
     V: np.ndarray, F: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray, int]:
