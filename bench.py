@@ -34,10 +34,11 @@ def main():
     dev = jax.devices()[0]
     on_tpu = dev.platform not in ("cpu",)
 
-    # bunny_140K-class problem (the shipped meshes top out at 40K faces;
-    # BASELINE.json's north-star mesh bunny_140K_init is not in the repo)
+    # beyond-bunny_140K-class problem (the shipped meshes top out at 40K
+    # faces; BASELINE.json's north-star mesh bunny_140K_init is not in the
+    # repo) — icosphere(7) is 327K faces, ~2.3x the north-star size
     t0 = time.time()
-    V, F = icosphere(6 if on_tpu else 4)  # 40962 V / 81920 F on TPU
+    V, F = icosphere(7 if on_tpu else 4)  # 163842 V / 327680 F on TPU
     mg = mg_precompute(V, F, verbose=False)
     t_hier = time.time() - t0
 

@@ -110,12 +110,102 @@ def face_energy(x9, abar, thickness, alpha, beta, material: str):
     return jnp.where(pure_tension, stvk, jnp.where(slack, 0.0, wrinkle))
 
 
-def _energy_sum(x_flat, F, abars, thickness, alpha, beta, material):
+def opposite_vertices(F: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """For each face corner i: the vertex of the neighboring face across the
+    edge opposite corner i (MeshConnectivity::vertexOppositeFaceEdge
+    semantics).  Returns (opp [m,3] int64 with 0 placeholder, mask [m,3]
+    1.0 where a neighbor exists)."""
+    F = np.asarray(F, dtype=np.int64)
+    m = F.shape[0]
+    owner: dict[tuple[int, int], tuple[int, int]] = {}
+    for f in range(m):
+        for c in range(3):
+            a, b = int(F[f, (c + 1) % 3]), int(F[f, (c + 2) % 3])
+            owner[(a, b)] = (f, int(F[f, c]))
+    opp = np.zeros((m, 3), dtype=np.int64)
+    mask = np.zeros((m, 3))
+    for f in range(m):
+        for c in range(3):
+            a, b = int(F[f, (c + 1) % 3]), int(F[f, (c + 2) % 3])
+            got = owner.get((b, a))
+            if got is not None:
+                opp[f, c] = got[1]
+                mask[f, c] = 1.0
+    return opp, mask
+
+
+def second_fundamental_form(x18, mask3):
+    """Midedge-average SFF of one face from its 6-vertex stencil
+    (reference MidedgeAverageFormulation.cpp:7-246): unnormalized own and
+    neighbor face normals; II_i = (q_{i+1}+q_{i+2}-2q_i).n_opp,i /
+    |n_opp,i + n_c|; b = [[II0+II1, II0],[II0, II0+II2]].
+
+    x18 = [q0,q1,q2, o0,o1,o2] stacked; mask3 zeroes boundary edges."""
+    q = x18[:9].reshape(3, 3)
+    o = x18[9:].reshape(3, 3)
+    cN = jnp.cross(q[1] - q[0], q[2] - q[0])
+    II = []
+    for i in range(3):
+        b_v = q[(i + 1) % 3]
+        c_v = q[(i + 2) % 3]
+        # neighbor face (c_v, b_v, o_i) in CCW order; normal matches the
+        # consistent orientation of the mesh
+        oppN = mask3[i] * jnp.cross(b_v - c_v, o[i] - c_v)
+        mvec = oppN + cN
+        mnorm = jnp.sqrt((mvec * mvec).sum())
+        qvec = b_v + c_v - 2.0 * q[i]
+        II.append(jnp.dot(qvec, oppN) / mnorm)
+    return jnp.array(
+        [[II[0] + II[1], II[0]], [II[0], II[0] + II[2]]]
+    )
+
+
+def face_bending_energy(x18, abar, bbar, mask3, thickness, alpha, beta,
+                        material: str):
+    """Bending energy of one face.
+
+    StVK (StVKMaterial.cpp:62-108): t^3/12 * dA * W_StVK(abar^-1 (b-bbar));
+    NeoHookean (NeoHookeanMaterial.cpp:70-117): sqrt(det abar) t^3/24 *
+    W(adj(a) b / det a - adj(abar) bbar / det abar);
+    tension-field: zero (TensionFieldStVKMaterial.cpp:174-189)."""
+    if material == "tension_field":
+        return jnp.asarray(0.0, dtype=x18.dtype)
+    b = second_fundamental_form(x18, mask3)
+    detabar = _det2(abar)
+    if material == "neohookean":
+        a = first_fundamental_form(x18[:9])
+        deta = _det2(a)
+        adj = lambda M: jnp.array(
+            [[M[1, 1], -M[0, 1]], [-M[1, 0], M[0, 0]]]
+        )
+        S = adj(a) @ b / deta - adj(abar) @ bbar / detabar
+        coeff = jnp.sqrt(detabar) * thickness**3 / 24.0
+        return coeff * _stvk_W(S, alpha, beta)
+    abarinv = _inv2(abar)
+    S = abarinv @ (b - bbar)
+    dA = 0.5 * jnp.sqrt(detabar)
+    return thickness**3 / 12.0 * dA * _stvk_W(S, alpha, beta)
+
+
+def _energy_sum(x_flat, F, abars, thickness, alpha, beta, material,
+                bend=None):
     x9 = x_flat.reshape(-1, 3)[F].reshape(F.shape[0], 9)
     e = jax.vmap(
         lambda x, ab: face_energy(x, ab, thickness, alpha, beta, material)
     )(x9, abars)
-    return e.sum()
+    total = e.sum()
+    if bend is not None:
+        opp, mask, bbars = bend
+        x18 = jnp.concatenate(
+            [x9, x_flat.reshape(-1, 3)[opp].reshape(F.shape[0], 9)], axis=1
+        )
+        eb = jax.vmap(
+            lambda x, ab, bb, mk: face_bending_energy(
+                x, ab, bb, mk, thickness, alpha, beta, material
+            )
+        )(x18, abars, bbars, mask)
+        total = total + eb.sum()
+    return total
 
 
 class ShellEnergy:
@@ -127,7 +217,8 @@ class ShellEnergy:
     multigrid solver.
     """
 
-    def __init__(self, V_rest, F, thickness, alpha, beta, material="neohookean"):
+    def __init__(self, V_rest, F, thickness, alpha, beta,
+                 material="neohookean", bending=False):
         assert material in MATERIALS
         self.F = np.asarray(F, dtype=np.int64)
         self.n = int(np.asarray(V_rest).shape[0])
@@ -135,8 +226,28 @@ class ShellEnergy:
         self.alpha = float(alpha)
         self.beta = float(beta)
         self.material = material
+        self.bending = bool(bending)
         Fj = jnp.asarray(self.F)
         self.abars = first_fundamental_forms(jnp.asarray(V_rest), Fj)
+
+        bend = None
+        if self.bending:
+            opp_np, mask_np = opposite_vertices(self.F)
+            self.opp = opp_np
+            self.mask = mask_np
+            Vr = jnp.asarray(V_rest)
+            x18_rest = jnp.concatenate(
+                [
+                    Vr[Fj].reshape(-1, 9),
+                    Vr[jnp.asarray(opp_np)].reshape(-1, 9),
+                ],
+                axis=1,
+            )
+            self.bbars = jax.vmap(second_fundamental_form)(
+                x18_rest, jnp.asarray(mask_np)
+            )
+            bend = (jnp.asarray(opp_np), jnp.asarray(mask_np), self.bbars)
+        self._bend = bend
 
         fun = functools.partial(
             _energy_sum,
@@ -146,6 +257,7 @@ class ShellEnergy:
             alpha=self.alpha,
             beta=self.beta,
             material=self.material,
+            bend=bend,
         )
         self._energy = jax.jit(fun)
         self._grad = jax.jit(jax.grad(fun))
@@ -163,6 +275,23 @@ class ShellEnergy:
         self._rows = np.repeat(dof, 9, axis=1).reshape(-1)
         self._cols = np.tile(dof, (1, 9)).reshape(-1)
 
+        if self.bending:
+            def face_eb(x18, ab, bb, mk):
+                return face_bending_energy(
+                    x18, ab, bb, mk, self.thickness, self.alpha, self.beta,
+                    self.material,
+                )
+
+            self._face_hess_bend = jax.jit(
+                jax.vmap(jax.hessian(face_eb), in_axes=(0, 0, 0, 0))
+            )
+            vids = np.concatenate([self.F, self.opp], axis=1)  # [m, 6]
+            dof18 = (
+                3 * vids[:, :, None] + np.arange(3)[None, None, :]
+            ).reshape(-1, 18)
+            self._rows_b = np.repeat(dof18, 18, axis=1).reshape(-1)
+            self._cols_b = np.tile(dof18, (1, 18)).reshape(-1)
+
     def energy(self, x_flat) -> float:
         return float(self._energy(jnp.asarray(x_flat)))
 
@@ -174,8 +303,22 @@ class ShellEnergy:
             -1, 9
         )
         H = np.asarray(self._face_hess(jnp.asarray(x9), self.abars))
+        rows, cols, vals = self._rows, self._cols, H.reshape(-1)
+        if self.bending:
+            xv = np.asarray(x_flat, dtype=np.float64).reshape(-1, 3)
+            x18 = np.concatenate(
+                [xv[self.F].reshape(-1, 9), xv[self.opp].reshape(-1, 9)], axis=1
+            )
+            Hb = np.asarray(
+                self._face_hess_bend(
+                    jnp.asarray(x18), self.abars, self.bbars,
+                    jnp.asarray(self.mask),
+                )
+            )
+            rows = np.concatenate([rows, self._rows_b])
+            cols = np.concatenate([cols, self._cols_b])
+            vals = np.concatenate([vals, Hb.reshape(-1)])
         K = sp.coo_matrix(
-            (H.reshape(-1), (self._rows, self._cols)),
-            shape=(3 * self.n, 3 * self.n),
+            (vals, (rows, cols)), shape=(3 * self.n, 3 * self.n)
         ).tocsr()
         return K
