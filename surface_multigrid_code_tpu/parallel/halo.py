@@ -149,6 +149,7 @@ class HaloHierarchy:
         mesh: Mesh,
         cfg: SolveConfig | None = None,
         dtype=jnp.float32,
+        reorder: bool = True,
     ):
         self.mesh = mesh
         self.cfg = cfg or SolveConfig(smoother=SmootherType.CHEBYSHEV)
@@ -157,6 +158,30 @@ class HaloHierarchy:
         self.D = D
         L = len(As)
         self.n0 = As[0].shape[0]
+
+        # Locality reordering (SURVEY.md §7 M6): contiguous row blocks are
+        # only halo-thin if the vertex ordering is spatially coherent —
+        # e.g. subdivision meshes interleave levels and make every block
+        # boundary-adjacent to every other.  Reverse Cuthill-McKee per level
+        # shrinks the halo to the O(separator) it should be; vectors are
+        # permuted on entry and inverse-permuted on exit.
+        self.perm0 = np.arange(self.n0)
+        if reorder:
+            from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+            perms = [
+                np.asarray(reverse_cuthill_mckee(A.tocsr(), symmetric_mode=True))
+                for A in As
+            ]
+            As = [
+                A.tocsr()[perms[lv]][:, perms[lv]].tocsr()
+                for lv, A in enumerate(As)
+            ]
+            Ps = [
+                P.tocsr()[perms[lv]][:, perms[lv + 1]].tocsr()
+                for lv, P in enumerate(Ps)
+            ]
+            self.perm0 = perms[0]
 
         host_levels: list[HaloLevelHost] = []
         for lv in range(L):
@@ -186,6 +211,7 @@ class HaloHierarchy:
             for d in range(D):
                 blk = Ap[d * R : (d + 1) * R]
                 bi, bd = _ell_arrays(blk, R)
+                bi[bd == 0] = d * R  # padding -> any LOCAL row (weight 0)
                 bi = _remap_columns(bi.reshape(-1), D, R, send, d).reshape(bi.shape)
                 idxs.append(bi)
                 dats.append(bd)
@@ -225,6 +251,7 @@ class HaloHierarchy:
             for d in range(D):
                 blk = Pp[d * fine.R : (d + 1) * fine.R]
                 bi, bd = _ell_arrays(blk, fine.R)
+                bi[bd == 0] = d * coarse.R  # padding -> local coarse row
                 bi = _remap_columns(
                     bi.reshape(-1), D, coarse.R, coarse.send, d
                 ).reshape(bi.shape)
@@ -246,6 +273,7 @@ class HaloHierarchy:
             for d in range(D):
                 blk = PTp[d * coarse.R : (d + 1) * coarse.R]
                 bi, bd = _ell_arrays(blk, coarse.R)
+                bi[bd == 0] = d * fine.R  # padding -> local fine row
                 bi = _remap_columns(
                     bi.reshape(-1), D, fine.R, fine.send, d
                 ).reshape(bi.shape)
@@ -410,10 +438,10 @@ class HaloHierarchy:
         R0 = self.levels[0]["R"]
         n_pad = R0 * self.D
         rhs_p = np.zeros(n_pad)
-        rhs_p[: self.n0] = np.asarray(rhs)
+        rhs_p[: self.n0] = np.asarray(rhs)[self.perm0]
         z0_p = np.zeros(n_pad)
         if z0 is not None:
-            z0_p[: self.n0] = np.asarray(z0)
+            z0_p[: self.n0] = np.asarray(z0)[self.perm0]
 
         Rs = [lv["R"] for lv in self.levels]
         lvl_args = [
@@ -454,8 +482,10 @@ class HaloHierarchy:
         )
         k = int(k)
         r_list = [float(r) for r in np.asarray(r_his)[:k]]
+        z_out = np.empty(self.n0)
+        z_out[self.perm0] = np.asarray(z, dtype=np.float64)[: self.n0]
         return (
-            np.asarray(z, dtype=np.float64)[: self.n0],
+            z_out,
             r_list,
             bool(r_list and r_list[-1] <= tolerance),
         )
