@@ -79,13 +79,12 @@ class RefreshableMGSolver:
         if self.cfg.smoother == SmootherType.MULTICOLOR_GS:
             for pl_ in self._plans[:-1]:
                 n, w = pl_.ell_shape
-                rows = np.repeat(np.arange(n), w)
+                # real nnz only — ELL padding would add spurious column-0
+                # edges and change the coloring (hence the GS trajectory)
+                rows = np.asarray(pl_.ell_rows)
+                cols = np.asarray(pl_.ell_indices)[rows, np.asarray(pl_.ell_cols)]
                 pat = sp.coo_matrix(
-                    (
-                        np.ones(n * w),
-                        (rows, np.asarray(pl_.ell_indices).ravel()),
-                    ),
-                    shape=(n, n),
+                    (np.ones(rows.shape[0]), (rows, cols)), shape=(n, n)
                 ).tocsr()
                 color = greedy_coloring(pat)
                 gs = color_groups(color)
