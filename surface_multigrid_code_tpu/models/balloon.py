@@ -63,6 +63,7 @@ class BalloonNewtonSolver:
 
     def __init__(self, shell: ShellEnergy, M: sp.csr_matrix, mg, cfg=None,
                  dtype=None):
+        import jax
         import jax.numpy as jnp
         from surface_multigrid_code_tpu.solver.refresh import (
             RefreshableMGSolver,
@@ -71,35 +72,40 @@ class BalloonNewtonSolver:
 
         cfg = cfg or SolveConfig(smoother=SmootherType.MULTICOLOR_GS)
         n3 = M.shape[0]
+        rows, cols = shell._rows, shell._cols
+        if shell.bending:
+            rows = np.concatenate([rows, shell._rows_b])
+            cols = np.concatenate([cols, shell._cols_b])
         K_pat = sp.coo_matrix(
-            (np.ones(shell._rows.shape[0]), (shell._rows, shell._cols)),
-            shape=(n3, n3),
+            (np.ones(rows.shape[0]), (rows, cols)), shape=(n3, n3)
         ).tocsr()
         pattern = (K_pat + M).tocsr()
         pattern.sum_duplicates()
         self.pattern = pattern
-        self.slots = csr_slot_map(pattern, shell._rows, shell._cols)
+        self.slots = csr_slot_map(pattern, rows, cols)
         self.Mdiag_slots = csr_slot_map(
             pattern, np.arange(n3), np.arange(n3)
         )
         self.Mdiag = np.asarray(M.diagonal())
-        self.solver = RefreshableMGSolver(
-            mg, pattern, cfg=cfg, dtype=dtype or jnp.float64
-        )
+        if dtype is None:
+            # f64 on CPU (x64 enabled in tests); f32 on TPU where f64 is
+            # slow double-word emulation
+            dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        self.solver = RefreshableMGSolver(mg, pattern, cfg=cfg, dtype=dtype)
         self.shell = shell
 
-    def hessian_values(self, x_flat, dt) -> np.ndarray:
-        """A0_vals for H = M + dt^2 K at the current positions."""
-        x9 = np.asarray(x_flat, dtype=np.float64).reshape(-1, 3)[
-            self.shell.F
-        ].reshape(-1, 9)
-        import jax.numpy as jnp
+    _kmap = None
 
-        Hf = np.asarray(self.shell._face_hess(jnp.asarray(x9), self.shell.abars))
-        vals = np.bincount(
-            self.slots, weights=dt * dt * Hf.reshape(-1),
-            minlength=self.pattern.nnz,
-        )
+    def hessian_values(self, x_flat, dt) -> np.ndarray:
+        """A0_vals for H = M + dt^2 K at the current positions (stretching
+        and, when enabled, bending blocks)."""
+        from surface_multigrid_code_tpu.solver.refresh import csr_value_map
+
+        K = self.shell.hessian(np.asarray(x_flat, dtype=np.float64))
+        if self._kmap is None:
+            self._kmap = csr_value_map(K, self.pattern)
+        vals = np.zeros(self.pattern.nnz)
+        vals[self._kmap] = dt * dt * K.data
         vals[self.Mdiag_slots] += self.Mdiag
         return vals
 
