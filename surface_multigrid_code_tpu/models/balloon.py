@@ -94,20 +94,37 @@ class BalloonNewtonSolver:
         self.solver = RefreshableMGSolver(mg, pattern, cfg=cfg, dtype=dtype)
         self.shell = shell
 
-    _kmap = None
+    def hessian_values(self, x_flat, dt):
+        """Device A0_vals for H = M + dt^2 K at the current positions.
 
-    def hessian_values(self, x_flat, dt) -> np.ndarray:
-        """A0_vals for H = M + dt^2 K at the current positions (stretching
-        and, when enabled, bending blocks)."""
-        from surface_multigrid_code_tpu.solver.refresh import csr_value_map
+        The per-face Hessian blocks (stretching 9x9 + optional bending
+        18x18) are scattered into the finest nnz slots with one on-device
+        segment_sum — no host assembly or matrix round-trip (the values
+        feed the jitted refresh+solve program directly)."""
+        import jax
+        import jax.numpy as jnp
 
-        K = self.shell.hessian(np.asarray(x_flat, dtype=np.float64))
-        if self._kmap is None:
-            self._kmap = csr_value_map(K, self.pattern)
-        vals = np.zeros(self.pattern.nnz)
-        vals[self._kmap] = dt * dt * K.data
-        vals[self.Mdiag_slots] += self.Mdiag
-        return vals
+        shell = self.shell
+        xv = jnp.asarray(x_flat).reshape(-1, 3)
+        x9 = xv[jnp.asarray(shell.F)].reshape(-1, 9)
+        entries = [self.shell._face_hess(x9, shell.abars).reshape(-1)]
+        if shell.bending:
+            x18 = jnp.concatenate(
+                [x9, xv[jnp.asarray(shell.opp)].reshape(-1, 9)], axis=1
+            )
+            entries.append(
+                shell._face_hess_bend(
+                    x18, shell.abars, shell.bbars, jnp.asarray(shell.mask)
+                ).reshape(-1)
+            )
+        vals = jax.ops.segment_sum(
+            dt * dt * jnp.concatenate(entries),
+            jnp.asarray(self.slots),
+            num_segments=self.pattern.nnz,
+        )
+        return vals.at[jnp.asarray(self.Mdiag_slots)].add(
+            jnp.asarray(self.Mdiag, dtype=vals.dtype)
+        )
 
 
 def implicit_euler_balloon_direct(

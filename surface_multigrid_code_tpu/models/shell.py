@@ -134,6 +134,76 @@ def opposite_vertices(F: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return opp, mask
 
 
+def edge_tables(F: np.ndarray):
+    """Per-face-corner edge ids and orientations + per-edge dihedral frame.
+
+    edge i of face f joins F[f,(i+1)%3] -> F[f,(i+2)%3] (directed);
+    the canonical frame of an undirected edge is taken from the first face
+    in which it appears: (v0, v1, v2 = that face's opposite vertex,
+    v3 = the other face's opposite vertex).  orient[f,i] = +1 for the
+    canonical face, -1 for the other (MeshConnectivity::faceEdgeOrientation
+    semantics feeding the alpha = theta/2 + orient*phi composition,
+    MidedgeAngleTanFormulation.cpp:141)."""
+    F = np.asarray(F, dtype=np.int64)
+    m = F.shape[0]
+    edges: dict[tuple[int, int], int] = {}
+    ev = []  # v0, v1, v2, v3 (v3 = -1 until second face seen)
+    eid = np.zeros((m, 3), dtype=np.int64)
+    orient = np.zeros((m, 3))
+    for f in range(m):
+        for c in range(3):
+            a, b = int(F[f, (c + 1) % 3]), int(F[f, (c + 2) % 3])
+            key = (min(a, b), max(a, b))
+            if key not in edges:
+                edges[key] = len(ev)
+                ev.append([a, b, int(F[f, c]), -1])
+                eid[f, c] = edges[key]
+                orient[f, c] = 1.0
+            else:
+                e = edges[key]
+                ev[e][3] = int(F[f, c])
+                eid[f, c] = e
+                orient[f, c] = -1.0
+    ev = np.asarray(ev, dtype=np.int64)
+    return eid, orient, ev
+
+
+def edge_thetas_jax(V: jnp.ndarray, ev: jnp.ndarray) -> jnp.ndarray:
+    """Signed dihedral angle per edge (GeometryDerivatives edgeTheta/angle:
+    theta = 2 atan2((n0 x n1).axis/|axis|, n0.n1 + |n0||n1|)); 0 on
+    boundary edges (ev[:,3] < 0)."""
+    q0, q1 = V[ev[:, 0]], V[ev[:, 1]]
+    q2 = V[ev[:, 2]]
+    q3 = V[jnp.maximum(ev[:, 3], 0)]
+    n0 = jnp.cross(q0 - q2, q1 - q2)
+    n1 = jnp.cross(q1 - q3, q0 - q3)
+    axis = q1 - q0
+    num = (jnp.cross(n0, n1) * axis).sum(-1) / jnp.linalg.norm(axis, axis=-1)
+    den = (n0 * n1).sum(-1) + jnp.linalg.norm(n0, axis=-1) * jnp.linalg.norm(
+        n1, axis=-1
+    )
+    theta = 2.0 * jnp.arctan2(num, den)
+    return jnp.where(ev[:, 3] >= 0, theta, 0.0)
+
+
+def second_fundamental_form_angle(x9, theta3, phi3, orient3, variant: str):
+    """Angle-based midedge SFF of one face
+    (MidedgeAngle{Tan,Sin}Formulation.cpp:110-270):
+    II_i = 2 h_i * tan_or_sin(theta_e/2 + orient*phi_e), h_i the altitude
+    from corner i; b = [[II0+II1, II0],[II0, II0+II2]]."""
+    q = x9.reshape(3, 3)
+    n = jnp.cross(q[1] - q[0], q[2] - q[0])
+    nnorm = jnp.linalg.norm(n)
+    II = []
+    for i in range(3):
+        e = q[(i + 2) % 3] - q[(i + 1) % 3]
+        h = nnorm / jnp.linalg.norm(e)
+        alpha = 0.5 * theta3[i] + orient3[i] * phi3[i]
+        g = jnp.tan(alpha) if variant == "tan" else jnp.sin(alpha)
+        II.append(2.0 * h * g)
+    return jnp.array([[II[0] + II[1], II[0]], [II[0], II[0] + II[2]]])
+
+
 def second_fundamental_form(x18, mask3):
     """Midedge-average SFF of one face from its 6-vertex stencil
     (reference MidedgeAverageFormulation.cpp:7-246): unnormalized own and
