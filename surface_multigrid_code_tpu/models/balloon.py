@@ -24,10 +24,6 @@ import scipy.sparse as sp
 from surface_multigrid_code_tpu.config import SolveConfig, SmootherType
 from surface_multigrid_code_tpu.models.shell import ShellEnergy, lame_parameters
 from surface_multigrid_code_tpu.ops.laplacian import massmatrix
-from surface_multigrid_code_tpu.solver.mqwf_mg import (
-    min_quad_with_fixed_mg_precompute,
-    min_quad_with_fixed_mg_solve,
-)
 
 
 def lumped_mass_matrix(V, F) -> sp.csr_matrix:

@@ -26,7 +26,7 @@ pseudo-inverse, then sliced back.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
+
 
 import numpy as np
 import scipy.sparse as sp

@@ -20,12 +20,12 @@ Semantics follow the reference:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 import scipy.sparse as sp
 
-from surface_multigrid_code_tpu.config import DecimationType, MGConfig
+from surface_multigrid_code_tpu.config import DecimationType
 
 
 @dataclass

@@ -25,7 +25,7 @@ itself runs as one jitted device program (see solver/vcycle.py).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 import scipy.sparse as sp
