@@ -1,0 +1,65 @@
+"""min_quad_with_fixed_mg: constrained + multi-column RHS combination
+(the reference's MatrixXd template instantiation,
+src/min_quad_with_fixed_mg.cpp:363-373), nonzero constraint values, and
+hierarchy reuse across precomputes (reference :43-49 seeding)."""
+
+import numpy as np
+import scipy.sparse as sp
+
+from surface_multigrid_code_tpu.ops.laplacian import cotmatrix, massmatrix
+from surface_multigrid_code_tpu.solver.hierarchy import mg_precompute
+from surface_multigrid_code_tpu.solver.mqwf_mg import (
+    min_quad_with_fixed_mg_precompute,
+    min_quad_with_fixed_mg_solve,
+)
+from surface_multigrid_code_tpu.utils.synthetic import icosphere
+
+
+def test_constrained_multicolumn_rhs():
+    V, F = icosphere(3)
+    mg = mg_precompute(V, F, min_coarsest_nv=80, verbose=False)
+    A = (-cotmatrix(V, F)).tocsr()
+    n = A.shape[0]
+    rng = np.random.default_rng(3)
+    known = np.sort(rng.choice(n, size=15, replace=False))
+    known_val = rng.normal(size=(15, 3))
+    M = massmatrix(V, F)
+    RHS = np.asarray(M @ V)  # 3 columns
+    data = min_quad_with_fixed_mg_precompute(A, known, mg)
+    z, r_his, ok = min_quad_with_fixed_mg_solve(
+        data, RHS, known_val=known_val, tolerance=1e-10, max_iter=40
+    )
+    assert ok
+    np.testing.assert_allclose(z[known], known_val)
+    # direct reference on unknowns
+    unknown = np.setdiff1d(np.arange(n), known)
+    Auu = A[unknown][:, unknown]
+    Auk = A[unknown][:, known]
+    rhs_u = RHS[unknown] - Auk @ known_val
+    z_ref = sp.linalg.spsolve(Auu.tocsc(), rhs_u)
+    np.testing.assert_allclose(z[unknown], z_ref, atol=1e-7)
+
+
+def test_hierarchy_reused_across_precomputes():
+    """The P stack must survive repeated precomputes with different
+    matrices and constraint sets (MCF/balloon reuse pattern; the
+    constrained path prunes P columns per solve)."""
+    V, F = icosphere(3)
+    mg = mg_precompute(V, F, min_coarsest_nv=80, verbose=False)
+    L = cotmatrix(V, F)
+    M = massmatrix(V, F)
+    rng = np.random.default_rng(0)
+    b = np.asarray(M @ np.ones(V.shape[0]))
+    for it, (known, delta) in enumerate(
+        [(np.array([0]), 0.01), (np.arange(5), 0.02), (None, 0.05)]
+    ):
+        A = (M - delta * L).tocsr() if known is None else (-L).tocsr()
+        data = min_quad_with_fixed_mg_precompute(A, known, mg)
+        kv = None if known is None else np.zeros(len(known))
+        rhs = b.copy()
+        if known is not None:
+            rhs[known] = 0.0
+        z, r_his, ok = min_quad_with_fixed_mg_solve(
+            data, rhs, known_val=kv, tolerance=1e-8, max_iter=40
+        )
+        assert ok, (it, r_his)
