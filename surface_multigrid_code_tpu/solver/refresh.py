@@ -57,16 +57,66 @@ class RefreshableMGSolver:
         self,
         mg,
         A0_pattern: sp.spmatrix,
+        known: np.ndarray | None = None,
         cfg: SolveConfig | None = None,
         dtype=jnp.float32,
         coarsest_shift: float = 1e-12,
+        prune_threshold: float = 1e-15,
     ):
         self.cfg = cfg or SolveConfig(smoother=SmootherType.JACOBI)
         self.dtype = dtype
         A0 = A0_pattern.tocsr().copy()
         A0.sum_duplicates()
-        self.A0_pattern = A0
+        self.A0_full_pattern = A0
+        n_full = A0.shape[0]
         Ps = [mg[lv].P_full.tocsr() for lv in range(1, len(mg))]
+
+        # Constrained path: the known/unknown split, P row-slice and value-
+        # based column pruning (reference src/min_quad_with_fixed_mg.cpp:
+        # 137-257) depend only on the STATIC pattern and the STATIC P values
+        # — compute them once; every refresh then just gathers A_uu / A_uk
+        # values out of the full finest nnz vector.
+        self.known = (
+            np.zeros(0, dtype=np.int64)
+            if known is None or len(known) == 0
+            else np.asarray(known, dtype=np.int64).ravel()
+        )
+        self.unknown = np.setdiff1d(np.arange(n_full), self.known)
+        if self.known.size:
+            rows_keep = self.unknown
+            Ps_sliced = []
+            for P in Ps:
+                P = P.tocsr()[rows_keep].tocsc()
+                keep_cols = np.flatnonzero(
+                    np.asarray((P > prune_threshold).sum(axis=0)).ravel() > 0
+                )
+                Ps_sliced.append(P[:, keep_cols].tocsr())
+                rows_keep = keep_cols
+            Ps = Ps_sliced
+            # index maps: A_uu and A_uk nnz -> full-pattern nnz ids
+            Auu = A0[self.unknown][:, self.unknown].tocsr()
+            Auu.sum_duplicates()
+            Auk = A0[self.unknown][:, self.known].tocsr()
+            Auk.sum_duplicates()
+            self._uu_map = jnp.asarray(
+                _submatrix_nnz_map(A0, self.unknown, self.unknown, Auu)
+            )
+            self._uk_map = jnp.asarray(
+                _submatrix_nnz_map(A0, self.unknown, self.known, Auk)
+            )
+            # Auk ELL layout (no diagonal requirement)
+            counts = np.diff(Auk.indptr)
+            width = max(int(counts.max(initial=0)), 1)
+            r_uk = np.repeat(np.arange(Auk.shape[0]), counts)
+            s_uk = np.arange(Auk.nnz) - np.repeat(Auk.indptr[:-1], counts)
+            ind_uk = np.zeros((Auk.shape[0], width), dtype=np.int32)
+            ind_uk[r_uk, s_uk] = Auk.indices
+            self._uk_rows = jnp.asarray(r_uk)
+            self._uk_slots = jnp.asarray(s_uk)
+            self._uk_shape = (Auk.shape[0], width)
+            self._uk_indices = jnp.asarray(ind_uk)
+            A0 = Auu
+        self.A0_pattern = A0
         self.plan: GalerkinPlan = build_galerkin_plan(A0, Ps)
         self.P_ell = [ell_from_csr(P, dtype=dtype) for P in Ps]
         self.PT_ell = [ell_from_csr(P.T.tocsr(), dtype=dtype) for P in Ps]
@@ -97,6 +147,9 @@ class RefreshableMGSolver:
         # one fused program: refresh + iterate
         self._solve = jax.jit(
             self._solve_impl, static_argnames=("max_iter",)
+        )
+        self._solve_k = jax.jit(
+            self._solve_constrained_impl, static_argnames=("max_iter",)
         )
 
     # ------------------------------------------------------------------
@@ -142,41 +195,110 @@ class RefreshableMGSolver:
         hier = self._refresh_impl(A0_vals)
         return solve_loop(hier, rhs, z0, tol, max_iter, self.cfg)
 
+    def _solve_constrained_impl(self, A0_vals_full, rhs_u, z0_u, kv, tol,
+                                max_iter: int):
+        """Constrained refresh+solve: gather A_uu / A_uk values out of the
+        FULL finest nnz vector, fold the constraints into the RHS
+        (reference src/min_quad_with_fixed_mg.cpp:310-318), then iterate."""
+        vals_uu = A0_vals_full[self._uu_map]
+        uk_vals = A0_vals_full[self._uk_map].astype(self.dtype)
+        uk_data = jnp.zeros(self._uk_shape, dtype=self.dtype)
+        uk_data = uk_data.at[self._uk_rows, self._uk_slots].set(uk_vals)
+        gathered = kv[self._uk_indices]
+        if kv.ndim == 1:
+            fold = (uk_data * gathered).sum(axis=1)
+        else:
+            fold = jnp.einsum("nw,nwr->nr", uk_data, gathered)
+        return solve_loop(
+            self._refresh_impl(vals_uu), rhs_u - fold, z0_u, tol, max_iter,
+            self.cfg,
+        )
+
     # ------------------------------------------------------------------
     def solve(
         self,
         A0_vals: np.ndarray,
         rhs: np.ndarray,
+        known_val: np.ndarray | None = None,
         z0: np.ndarray | None = None,
         tolerance: float = 1e-3,
         max_iter: int = 20,
     ):
         """Refresh + V-cycle iterate in one device program.
 
-        A0_vals: nnz values in A0_pattern's CSR order.  Returns
+        A0_vals: nnz values of the FULL finest pattern (CSR order); when
+        the solver was built with `known`, the unknown/known slicing, RHS
+        constraint folding, and back-scatter happen here.  Returns
         (z, r_his, converged) like min_quad_with_fixed_mg_solve.
         """
-        rhs_d = jnp.asarray(rhs, dtype=self.dtype)
-        z0_d = (
-            jnp.zeros_like(rhs_d)
-            if z0 is None
-            else jnp.asarray(z0, dtype=self.dtype)
-        )
         from surface_multigrid_code_tpu.utils.profiler import profile_region
 
-        with profile_region("MG: refresh+solve", trace=True):
-            z, r_his, k = self._solve(
-                jnp.asarray(A0_vals),
-                rhs_d,
-                z0_d,
-                jnp.asarray(float(tolerance), dtype=self.dtype),
-                int(max_iter),
+        rhs = np.asarray(rhs, dtype=np.float64)
+        constrained = self.known.size > 0
+        if constrained:
+            assert known_val is not None
+            kv = np.asarray(known_val, dtype=np.float64)
+            rhs_u = rhs[self.unknown]
+            z0_u = (
+                np.zeros_like(rhs_u)
+                if z0 is None
+                else np.asarray(z0, dtype=np.float64)[self.unknown]
             )
-            z.block_until_ready()
+            with profile_region("MG: refresh+solve", trace=True):
+                z_u, r_his, k = self._solve_k(
+                    jnp.asarray(A0_vals),
+                    jnp.asarray(rhs_u, dtype=self.dtype),
+                    jnp.asarray(z0_u, dtype=self.dtype),
+                    jnp.asarray(kv, dtype=self.dtype),
+                    jnp.asarray(float(tolerance), dtype=self.dtype),
+                    int(max_iter),
+                )
+                z_u.block_until_ready()
+            z = np.empty_like(rhs)
+            z[self.unknown] = np.asarray(z_u, dtype=np.float64)
+            z[self.known] = kv
+        else:
+            rhs_d = jnp.asarray(rhs, dtype=self.dtype)
+            z0_d = (
+                jnp.zeros_like(rhs_d)
+                if z0 is None
+                else jnp.asarray(z0, dtype=self.dtype)
+            )
+            with profile_region("MG: refresh+solve", trace=True):
+                z, r_his, k = self._solve(
+                    jnp.asarray(A0_vals),
+                    rhs_d,
+                    z0_d,
+                    jnp.asarray(float(tolerance), dtype=self.dtype),
+                    int(max_iter),
+                )
+                z.block_until_ready()
+            z = np.asarray(z, dtype=np.float64)
         k = int(k)
         r_list = [float(r) for r in np.asarray(r_his)[:k]]
         converged = bool(r_list and r_list[-1] <= tolerance)
-        return np.asarray(z, dtype=np.float64), r_list, converged
+        return z, r_list, converged
+
+
+def _submatrix_nnz_map(
+    A: sp.csr_matrix, rows: np.ndarray, cols: np.ndarray, Asub: sp.csr_matrix
+) -> np.ndarray:
+    """For each nnz of Asub = A[rows][:, cols] (canonical CSR order), the
+    nnz id within A — so submatrix values can be gathered from the full
+    value vector on device."""
+    col_of = -np.ones(A.shape[1], dtype=np.int64)
+    col_of[cols] = np.arange(cols.shape[0])
+    out = np.empty(Asub.nnz, dtype=np.int64)
+    for si, gi in enumerate(rows):
+        lo, hi = A.indptr[gi], A.indptr[gi + 1]
+        sub_cols = col_of[A.indices[lo:hi]]
+        keep = sub_cols >= 0
+        slo, shi = Asub.indptr[si], Asub.indptr[si + 1]
+        # A's kept columns appear in the same relative (sorted) order as
+        # Asub's canonical column order
+        order = np.argsort(sub_cols[keep], kind="stable")
+        out[slo:shi] = (lo + np.flatnonzero(keep))[order]
+    return out
 
 
 def _device_lam_max(A: ELLMatrix, diag, iters: int = 12):
