@@ -347,40 +347,47 @@ class HaloHierarchy:
         cfg = self.cfg
 
         def exchange(lv, x_l):
+            # x_l: [R] or [R, k]; publish buffer gathers along the row axis
             send = lvl_args[lv]["send"][0]      # local [S]
-            pub = x_l[send]                     # [S]
-            allpub = jax.lax.all_gather(pub, "rows")  # [D, S]
-            return jnp.concatenate([x_l, allpub.reshape(-1)])
+            pub = x_l[send]                     # [S] / [S, k]
+            allpub = jax.lax.all_gather(pub, "rows")  # [D, S] / [D, S, k]
+            flat = allpub.reshape((-1,) + x_l.shape[1:])
+            return jnp.concatenate([x_l, flat])
 
         def spmv(idx, dat, xx):
-            return (dat * xx[idx]).sum(axis=1)
+            g = xx[idx]                         # [R, w] or [R, w, k]
+            if g.ndim == 2:
+                return (dat * g).sum(axis=1)
+            return jnp.einsum("rw,rwk->rk", dat, g)
 
         def Ax(lv, x_l):
             xx = exchange(lv, x_l)
             return spmv(lvl_args[lv]["A_idx"], lvl_args[lv]["A_dat"], xx)
 
-        def smooth(lv, b_l, u_l, n_iter):
+        def dinv(lv, v):
             diag = lvl_args[lv]["diag"]
+            return v / diag if v.ndim == 1 else v / diag[:, None]
+
+        def smooth(lv, b_l, u_l, n_iter):
             if cfg.smoother == SmootherType.CHEBYSHEV:
                 lam_max = lvl_args[lv]["lam_max"]
                 lam_min = lam_max / 4.0
                 theta = 0.5 * (lam_max + lam_min)
                 delta = 0.5 * (lam_max - lam_min)
-                r = (b_l - Ax(lv, u_l)) / diag
+                r = dinv(lv, b_l - Ax(lv, u_l))
                 d = r / theta
                 u_l = u_l + d
                 sigma = theta / delta
                 rho = 1.0 / sigma
                 for _ in range(n_iter - 1):
                     rho_new = 1.0 / (2.0 * sigma - rho)
-                    r = (b_l - Ax(lv, u_l)) / diag
+                    r = dinv(lv, b_l - Ax(lv, u_l))
                     d = rho_new * rho * d + (2.0 * rho_new / delta) * r
                     u_l = u_l + d
                     rho = rho_new
                 return u_l
             for _ in range(n_iter):
-                r = b_l - Ax(lv, u_l)
-                u_l = u_l + cfg.jacobi_weight * r / diag
+                u_l = u_l + cfg.jacobi_weight * dinv(lv, b_l - Ax(lv, u_l))
             return u_l
 
         L = len(lvl_args)
@@ -388,11 +395,17 @@ class HaloHierarchy:
         def vcycle(lv, b_l, u_l):
             if lv == L - 1:
                 # replicate the coarse rhs, dense solve, slice back
-                b_all = jax.lax.all_gather(b_l, "rows").reshape(-1)
+                b_all = jax.lax.all_gather(b_l, "rows")
+                b_all = b_all.reshape((-1,) + b_l.shape[1:])
                 u_all = coarse_inv @ b_all
                 me = jax.lax.axis_index("rows")
                 R = Rs[lv]
-                return u_l + jax.lax.dynamic_slice(u_all, (me * R,), (R,))
+                if b_l.ndim == 1:
+                    return u_l + jax.lax.dynamic_slice(u_all, (me * R,), (R,))
+                zero = jnp.zeros((), dtype=me.dtype)
+                return u_l + jax.lax.dynamic_slice(
+                    u_all, (me * R, zero), (R, b_l.shape[1])
+                )
             u_l = smooth(lv, b_l, u_l, cfg.pre_relax_iter)
             r_l = b_l - Ax(lv, u_l)
             # restrict: PT lives on the coarse partition, reads fine halo
@@ -437,11 +450,13 @@ class HaloHierarchy:
 
         R0 = self.levels[0]["R"]
         n_pad = R0 * self.D
-        rhs_p = np.zeros(n_pad)
-        rhs_p[: self.n0] = np.asarray(rhs)[self.perm0]
-        z0_p = np.zeros(n_pad)
+        rhs = np.asarray(rhs, dtype=np.float64)
+        rhs_p = np.zeros((n_pad,) + rhs.shape[1:])
+        rhs_p[: self.n0] = rhs[self.perm0]
+        z0_p = np.zeros_like(rhs_p)
         if z0 is not None:
             z0_p[: self.n0] = np.asarray(z0)[self.perm0]
+        vspec = P("rows") if rhs.ndim == 1 else P("rows", None)
 
         Rs = [lv["R"] for lv in self.levels]
         lvl_args = [
@@ -467,8 +482,8 @@ class HaloHierarchy:
 
         kwargs = dict(
             mesh=self.mesh,
-            in_specs=(arg_specs, P("rows"), P("rows"), P()),
-            out_specs=(P("rows"), P(), P()),
+            in_specs=(arg_specs, vspec, vspec, P()),
+            out_specs=(vspec, P(), P()),
         )
         try:
             sm = shard_map(body, check_vma=False, **kwargs)
@@ -482,7 +497,7 @@ class HaloHierarchy:
         )
         k = int(k)
         r_list = [float(r) for r in np.asarray(r_his)[:k]]
-        z_out = np.empty(self.n0)
+        z_out = np.empty((self.n0,) + rhs.shape[1:])
         z_out[self.perm0] = np.asarray(z, dtype=np.float64)[: self.n0]
         return (
             z_out,

@@ -39,6 +39,19 @@ def test_halo_solve_converges(ndev, smoother):
     assert np.linalg.norm(As[0] @ z - rhs) < 1e-9
 
 
+def test_halo_multicolumn_rhs():
+    As, Ps, rhs = hierarchy_system()
+    rhs3 = np.stack([rhs, -2 * rhs, 0.5 * rhs], axis=1)
+    mesh = make_row_mesh(4)
+    hier = HaloHierarchy(
+        As, Ps, mesh, cfg=SolveConfig(smoother=SmootherType.CHEBYSHEV),
+        dtype=jnp.float64,
+    )
+    z, r_his, ok = hier.solve(rhs3, tolerance=1e-10, max_iter=40)
+    assert ok
+    assert np.linalg.norm(As[0] @ z - rhs3) < 1e-8
+
+
 def test_halo_matches_gspmd_path():
     from surface_multigrid_code_tpu.parallel.spmd import (
         build_sharded_hierarchy,
