@@ -58,16 +58,22 @@ class MCFStepper:
         self.solver = RefreshableMGSolver(mg, L, cfg=cfg, dtype=dtype)
         n = V.shape[0]
         diag_slots = csr_slot_map(L, np.arange(n), np.arange(n))
-        L_vals = jnp.asarray(-self.delta * L.data, dtype=dtype)
-        Fj = jnp.asarray(self.F)
-        diag_slots_j = jnp.asarray(diag_slots)
+        # device buffers travel as jit arguments (see solver/galerkin.py on
+        # why closure-captured arrays must be avoided)
+        self._mcf_state = {
+            "solver": self.solver._state,
+            "L_vals": jnp.asarray(-self.delta * L.data, dtype=dtype),
+            "F": jnp.asarray(self.F),
+            "diag_slots": jnp.asarray(diag_slots),
+        }
 
-        def step(U):
+        def step(state, U):
             U = U.astype(dtype)
+            Fj = state["F"]
             mass = massmatrix_barycentric_diag_jax(U, Fj)
-            vals = L_vals.at[diag_slots_j].add(mass)
+            vals = state["L_vals"].at[state["diag_slots"]].add(mass)
             rhs = mass[:, None] * U
-            hier = self.solver._refresh_impl(vals)
+            hier = self.solver._refresh_impl(state["solver"], vals)
             Unew, r_his, k = solve_loop(
                 hier,
                 rhs,
@@ -89,7 +95,8 @@ class MCFStepper:
             )
             return Unew, r_his, k
 
-        self._step = jax.jit(step)
+        self._step_fn = jax.jit(step)
+        self._step = lambda U: self._step_fn(self._mcf_state, U)
 
     def step(self, U: np.ndarray):
         """One flow step; returns (U_next, r_his list, converged)."""

@@ -198,8 +198,37 @@ def _query_device(dlog: DeviceCollapseLog, forward: bool, BC, BF, FIdx):
     return st[1], st[2], st[3]
 
 
-_query_fwd = jax.jit(lambda dlog, BC, BF, FIdx: _query_device(dlog, True, BC, BF, FIdx))
-_query_bwd = jax.jit(lambda dlog, BC, BF, FIdx: _query_device(dlog, False, BC, BF, FIdx))
+def _query_chunked(dlog, forward, BC, BF, FIdx, chunk):
+    """lax.map over fixed-size chunks: each chunk's while_loop retires as
+    soon as ITS longest walker finishes, so total work tracks the per-chunk
+    maximum walk length instead of the global maximum."""
+    nq = BC.shape[0]
+    pad = (-nq) % chunk
+    BCp = jnp.pad(BC, ((0, pad), (0, 0)))
+    BFp = jnp.pad(BF, ((0, pad), (0, 0)))
+    FIp = jnp.pad(FIdx, (0, pad))
+    C = BCp.shape[0] // chunk
+    out = jax.lax.map(
+        lambda t: _query_device(dlog, forward, *t),
+        (
+            BCp.reshape(C, chunk, 3),
+            BFp.reshape(C, chunk, 3),
+            FIp.reshape(C, chunk),
+        ),
+    )
+    return (
+        out[0].reshape(-1, 3)[:nq],
+        out[1].reshape(-1, 3)[:nq],
+        out[2].reshape(-1)[:nq],
+    )
+
+
+_query_fwd = jax.jit(
+    lambda dlog, BC, BF, FIdx: _query_chunked(dlog, True, BC, BF, FIdx, 4096)
+)
+_query_bwd = jax.jit(
+    lambda dlog, BC, BF, FIdx: _query_chunked(dlog, False, BC, BF, FIdx, 4096)
+)
 
 
 def query_fine_to_coarse_device(dlog: DeviceCollapseLog, BC, BF, FIdx):

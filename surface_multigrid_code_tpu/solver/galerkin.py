@@ -29,9 +29,15 @@ import jax
 import jax.numpy as jnp
 
 
+@jax.tree_util.register_pytree_node_class
 @dataclass(frozen=True)
 class LevelPlan:
-    """Symbolic PtAP for one level (static per hierarchy)."""
+    """Symbolic PtAP for one level (static per hierarchy).
+
+    Registered as a pytree so plans can be passed as jit ARGUMENTS —
+    closure-capturing these (multi-million-entry) arrays would embed them
+    as compile-time constants, which on the remote-compile backend ships
+    hundreds of MB per compilation."""
 
     idx_in: jnp.ndarray   # [n_triples] index into A_in nnz values
     w: jnp.ndarray        # [n_triples] folded P[a] * P[c] weights
@@ -44,12 +50,36 @@ class LevelPlan:
     ell_indices: jnp.ndarray  # static int32 [n, width] column ids
     diag_idx: jnp.ndarray     # [n] nnz id of each diagonal entry
 
+    def tree_flatten(self):
+        children = (
+            self.idx_in, self.w, self.seg, self.ell_rows, self.ell_cols,
+            self.ell_indices, self.diag_idx,
+        )
+        return children, (self.nnz_out, self.ell_shape)
 
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        idx_in, w, seg, ell_rows, ell_cols, ell_indices, diag_idx = children
+        return cls(
+            idx_in=idx_in, w=w, seg=seg, nnz_out=aux[0], ell_rows=ell_rows,
+            ell_cols=ell_cols, ell_shape=aux[1], ell_indices=ell_indices,
+            diag_idx=diag_idx,
+        )
+
+
+@jax.tree_util.register_pytree_node_class
 @dataclass(frozen=True)
 class GalerkinPlan:
     levels: tuple[LevelPlan, ...]
     # finest-level ELL layout (same fields for level 0)
     lvl0: LevelPlan
+
+    def tree_flatten(self):
+        return (self.levels, self.lvl0), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(levels=children[0], lvl0=children[1])
 
 
 def _ell_layout(A: sp.csr_matrix, min_width: int = 1):

@@ -143,6 +143,25 @@ class RefreshableMGSolver:
                     tuple(jnp.asarray(s, dtype=dtype) for s in group_scales(gs))
                 )
 
+        # ALL device arrays travel as jit ARGUMENTS via this pytree —
+        # closure-capturing them would embed multi-MB (balloon: multi-100MB)
+        # constants into every compiled program.
+        self._state = {
+            "plan": self.plan,
+            "P_ell": tuple(self.P_ell),
+            "PT_ell": tuple(self.PT_ell),
+            "groups": tuple(self._groups),
+            "group_scales": tuple(self._group_scales),
+        }
+        if self.known.size:
+            self._state.update(
+                uu_map=self._uu_map,
+                uk_map=self._uk_map,
+                uk_rows=self._uk_rows,
+                uk_slots=self._uk_slots,
+                uk_indices=self._uk_indices,
+            )
+
         self._refresh = jax.jit(self._refresh_impl)
         # one fused program: refresh + iterate
         self._solve = jax.jit(
@@ -153,11 +172,15 @@ class RefreshableMGSolver:
         )
 
     # ------------------------------------------------------------------
-    def _refresh_impl(self, A0_vals: jnp.ndarray) -> DeviceHierarchy:
-        levels_vals = refresh_values(self.plan, A0_vals.astype(self.dtype))
+    def _refresh_impl(self, state, A0_vals: jnp.ndarray) -> DeviceHierarchy:
+        plan = state["plan"]
+        plans = [plan.lvl0, *plan.levels]
+        levels_vals = refresh_values(plan, A0_vals.astype(self.dtype))
         levels = []
-        L = len(self._plans)
-        for lv, (pl_, (data, diag)) in enumerate(zip(self._plans, levels_vals)):
+        L = len(plans)
+        groups = state["groups"]
+        group_scales = state["group_scales"]
+        for lv, (pl_, (data, diag)) in enumerate(zip(plans, levels_vals)):
             n, w = pl_.ell_shape
             ell = ELLMatrix(indices=pl_.ell_indices, data=data, n_cols=n)
             lam_max = None
@@ -167,19 +190,19 @@ class RefreshableMGSolver:
                 DeviceLevel(
                     A=ell,
                     diag=diag,
-                    P=None if lv == 0 else self.P_ell[lv - 1],
-                    PT=None if lv == 0 else self.PT_ell[lv - 1],
-                    groups=self._groups[lv] if self._groups and lv < L - 1 else (),
+                    P=None if lv == 0 else state["P_ell"][lv - 1],
+                    PT=None if lv == 0 else state["PT_ell"][lv - 1],
+                    groups=groups[lv] if groups and lv < L - 1 else (),
                     group_scale=(
-                        self._group_scales[lv]
-                        if self._group_scales and lv < L - 1
+                        group_scales[lv]
+                        if group_scales and lv < L - 1
                         else ()
                     ),
                     lam_max=lam_max,
                 )
             )
         # dense coarsest + Cholesky inverse (device; SPD assumed)
-        pl_ = self._plans[-1]
+        pl_ = plans[-1]
         n, w = pl_.ell_shape
         data, diag = levels_vals[-1]
         rows = jnp.repeat(jnp.arange(n), w).reshape(n, w)
@@ -191,27 +214,27 @@ class RefreshableMGSolver:
         inv = jax.scipy.linalg.cho_solve((chol, True), eye)
         return DeviceHierarchy(levels=tuple(levels), coarse_inv=inv)
 
-    def _solve_impl(self, A0_vals, rhs, z0, tol, max_iter: int):
-        hier = self._refresh_impl(A0_vals)
+    def _solve_impl(self, state, A0_vals, rhs, z0, tol, max_iter: int):
+        hier = self._refresh_impl(state, A0_vals)
         return solve_loop(hier, rhs, z0, tol, max_iter, self.cfg)
 
-    def _solve_constrained_impl(self, A0_vals_full, rhs_u, z0_u, kv, tol,
-                                max_iter: int):
+    def _solve_constrained_impl(self, state, A0_vals_full, rhs_u, z0_u, kv,
+                                tol, max_iter: int):
         """Constrained refresh+solve: gather A_uu / A_uk values out of the
         FULL finest nnz vector, fold the constraints into the RHS
         (reference src/min_quad_with_fixed_mg.cpp:310-318), then iterate."""
-        vals_uu = A0_vals_full[self._uu_map]
-        uk_vals = A0_vals_full[self._uk_map].astype(self.dtype)
+        vals_uu = A0_vals_full[state["uu_map"]]
+        uk_vals = A0_vals_full[state["uk_map"]].astype(self.dtype)
         uk_data = jnp.zeros(self._uk_shape, dtype=self.dtype)
-        uk_data = uk_data.at[self._uk_rows, self._uk_slots].set(uk_vals)
-        gathered = kv[self._uk_indices]
+        uk_data = uk_data.at[state["uk_rows"], state["uk_slots"]].set(uk_vals)
+        gathered = kv[state["uk_indices"]]
         if kv.ndim == 1:
             fold = (uk_data * gathered).sum(axis=1)
         else:
             fold = jnp.einsum("nw,nwr->nr", uk_data, gathered)
         return solve_loop(
-            self._refresh_impl(vals_uu), rhs_u - fold, z0_u, tol, max_iter,
-            self.cfg,
+            self._refresh_impl(state, vals_uu), rhs_u - fold, z0_u, tol,
+            max_iter, self.cfg,
         )
 
     # ------------------------------------------------------------------
@@ -246,6 +269,7 @@ class RefreshableMGSolver:
             )
             with profile_region("MG: refresh+solve", trace=True):
                 z_u, r_his, k = self._solve_k(
+                    self._state,
                     jnp.asarray(A0_vals),
                     jnp.asarray(rhs_u, dtype=self.dtype),
                     jnp.asarray(z0_u, dtype=self.dtype),
@@ -266,6 +290,7 @@ class RefreshableMGSolver:
             )
             with profile_region("MG: refresh+solve", trace=True):
                 z, r_his, k = self._solve(
+                    self._state,
                     jnp.asarray(A0_vals),
                     rhs_d,
                     z0_d,
