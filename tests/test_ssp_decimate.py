@@ -185,3 +185,38 @@ def test_mg_precompute_levels():
         np.testing.assert_allclose(
             np.asarray(P.sum(axis=1)).ravel(), 1.0, atol=1e-9
         )
+
+
+def torus_mesh(R=2.0, r=0.8, nu=24, nv=16):
+    us = np.arange(nu) * 2 * np.pi / nu
+    vs = np.arange(nv) * 2 * np.pi / nv
+    V = []
+    for u in us:
+        for v in vs:
+            V.append([
+                (R + r * np.cos(v)) * np.cos(u),
+                (R + r * np.cos(v)) * np.sin(u),
+                r * np.sin(v),
+            ])
+    F = []
+    for i in range(nu):
+        for j in range(nv):
+            a = i * nv + j
+            b = ((i + 1) % nu) * nv + j
+            c = i * nv + (j + 1) % nv
+            d = ((i + 1) % nu) * nv + (j + 1) % nv
+            F += [[a, b, d], [a, d, c]]
+    return np.asarray(V), np.asarray(F)
+
+
+@pytest.mark.parametrize("dec_type", [0, 1])
+def test_decimate_torus_preserves_genus(dec_type):
+    V, F = torus_mesh()
+    ok, Vc, Fc, IMF, IM, log = SSP_decimate(V, F, 200, dec_type)
+    assert ok
+    # genus-1: V - E + F == 0
+    assert Vc.shape[0] - len(edges_of(Fc)) + Fc.shape[0] == 0
+    Vc2, Fc2, P, *_ = get_prolong(V, F, 200, dec_type)
+    np.testing.assert_allclose(
+        np.asarray(P.sum(axis=1)).ravel(), 1.0, atol=1e-9
+    )
