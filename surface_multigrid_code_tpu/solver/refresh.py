@@ -346,34 +346,23 @@ def _device_lam_max(A: ELLMatrix, diag, iters: int = 12):
 def csr_slot_map(
     pattern: sp.csr_matrix, rows: np.ndarray, cols: np.ndarray
 ) -> np.ndarray:
-    """nnz slot of every (row, col) pair in the pattern (vectorized).
+    """nnz slot of every (row, col) pair in the pattern (fully vectorized).
 
     Used to scatter application-assembled entries (e.g. per-face stiffness
-    blocks) straight into A0_vals without building a scipy matrix."""
+    blocks) straight into A0_vals without building a scipy matrix.
+    Canonical CSR keys (row * ncols + col) are globally sorted, so ONE
+    np.searchsorted resolves every query."""
     pattern = pattern.tocsr()
-    indptr, indices = pattern.indptr, pattern.indices
-    lo = indptr[rows]
-    hi = indptr[rows + 1]
-    # searchsorted within each row's slice via global trick: indices are
-    # sorted per row, so search the whole array bounded by [lo, hi)
-    slots = np.empty(rows.shape[0], dtype=np.int64)
-    # vectorized per-row searchsorted using offsets into a concatenated view
-    # (rows have small degree; do it with np.searchsorted on subarrays in a
-    # grouped pass)
-    order = np.argsort(rows, kind="stable")
-    rs = rows[order]
-    cs = cols[order]
-    out = np.empty_like(slots)
-    start = 0
-    uniq, starts = np.unique(rs, return_index=True)
-    starts = np.append(starts, rs.shape[0])
-    for k, r in enumerate(uniq):
-        seg = slice(starts[k], starts[k + 1])
-        row_idx = indices[indptr[r] : indptr[r + 1]]
-        pos = np.searchsorted(row_idx, cs[seg])
-        assert np.all(row_idx[pos] == cs[seg]), "entry outside pattern"
-        out[seg] = indptr[r] + pos
-    slots[order] = out
+    ncols = pattern.shape[1]
+    prows = np.repeat(
+        np.arange(pattern.shape[0], dtype=np.int64), np.diff(pattern.indptr)
+    )
+    pkeys = prows * ncols + pattern.indices
+    qkeys = np.asarray(rows, dtype=np.int64) * ncols + np.asarray(
+        cols, dtype=np.int64
+    )
+    slots = np.searchsorted(pkeys, qkeys)
+    assert np.all(pkeys[slots] == qkeys), "entry outside pattern"
     return slots
 
 

@@ -29,8 +29,11 @@ p_i64 = ctypes.POINTER(ctypes.c_int64)
 p_f64 = ctypes.POINTER(ctypes.c_double)
 
 
+_BUILD_TAG = b"O3-native-v2"  # bump when compile flags change
+
+
 def _source_hash() -> str:
-    h = hashlib.sha256()
+    h = hashlib.sha256(_BUILD_TAG)
     for s in _SOURCES:
         h.update((_NATIVE_DIR / s).read_bytes())
     return h.hexdigest()[:16]
@@ -44,6 +47,7 @@ def _build() -> Path:
     cmd = [
         "g++",
         "-O3",
+        "-march=native",
         "-std=c++17",
         "-fPIC",
         "-shared",
@@ -52,7 +56,12 @@ def _build() -> Path:
         "-o",
         str(out),
     ]
-    subprocess.run(cmd, check=True, capture_output=True, text=True)
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, text=True)
+    except subprocess.CalledProcessError:
+        # portable fallback (e.g. -march=native unsupported)
+        cmd.remove("-march=native")
+        subprocess.run(cmd, check=True, capture_output=True, text=True)
     return out
 
 
