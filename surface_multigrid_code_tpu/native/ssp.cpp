@@ -18,7 +18,7 @@
 // The engine emits FLAT arrays (CSR-style offsets) so the Python/JAX side
 // can consume, serialize, and later device-vectorize the collapse log.
 //
-// Build:  g++ -O3 -fPIC -shared -fopenmp ssp.cpp -o libssp.so
+// Build:  g++ -O3 -march=native -std=c++17 -fPIC -shared -fopenmp ssp.cpp -o libssp.so (portable fallback without -march=native; see ssp/_native.py)
 
 #include <algorithm>
 #include <cmath>
@@ -235,7 +235,8 @@ static bool try_collapse(FlapMesh& M, i64 e, const double p[3],
                          std::vector<CollapseRecord>& log,
                          std::vector<std::vector<i64>>& decIM,
                          std::vector<i64>& sfaces, std::vector<i64>& dfaces,
-                         i64 killed_edges[2], i64 killed_faces[2]) {
+                         i64 killed_edges[2], i64 killed_faces[2],
+                         int verbose) {
   const i64 s = std::min(M.E[2 * e], M.E[2 * e + 1]);
   const i64 d = std::max(M.E[2 * e], M.E[2 * e + 1]);
   std::vector<i64> sring, dring;
@@ -244,7 +245,7 @@ static bool try_collapse(FlapMesh& M, i64 e, const double p[3],
   if (!link_condition(sring, dring)) return false;
   if (s == M.virtual_vertex || d == M.virtual_vertex) return false;
 
-  if ((log.size() + 1) % 100000 == 0)
+  if (verbose && (log.size() + 1) % 100000 == 0)
     std::printf("#collapses: %zu\n", log.size() + 1);
 
   // one-ring faces (reference get_collapse_onering_faces): alive, real,
@@ -423,7 +424,7 @@ static Result* run_decimate(const double* Vin, i64 nV, const i64* Fin, i64 nF,
     std::vector<i64> sfaces, dfaces;
     i64 killed_edges[2], killed_faces[2];
     if (try_collapse(M, e, &C[3 * e], R->log, R->decIM, sfaces, dfaces,
-                     killed_edges, killed_faces)) {
+                     killed_edges, killed_faces, verbose)) {
       // qslim/vertexRemoval quadric merge into the surviving (smaller) id
       // (reference callbacks post_collapse); endpoints recovered from the
       // record since E[e] is dead after surgery.

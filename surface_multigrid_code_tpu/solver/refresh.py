@@ -353,6 +353,7 @@ def csr_slot_map(
     Canonical CSR keys (row * ncols + col) are globally sorted, so ONE
     np.searchsorted resolves every query."""
     pattern = pattern.tocsr()
+    pattern.sort_indices()  # no-op when already canonical
     ncols = pattern.shape[1]
     prows = np.repeat(
         np.arange(pattern.shape[0], dtype=np.int64), np.diff(pattern.indptr)
@@ -362,21 +363,8 @@ def csr_slot_map(
         cols, dtype=np.int64
     )
     slots = np.searchsorted(pkeys, qkeys)
-    assert np.all(pkeys[slots] == qkeys), "entry outside pattern"
+    if slots.max(initial=-1) >= pkeys.shape[0] or not np.array_equal(
+        pkeys[np.minimum(slots, pkeys.shape[0] - 1)], qkeys
+    ):
+        raise ValueError("entry outside pattern")  # survives python -O
     return slots
-
-
-def csr_value_map(target: sp.csr_matrix, pattern: sp.csr_matrix) -> np.ndarray:
-    """Index map m with pattern.data-order values: vals[m] accumulates
-    target values into the pattern's nnz slots (target pattern must be a
-    subset).  Utility for building A0_vals from application matrices."""
-    pattern = pattern.tocsr()
-    target = target.tocsr()
-    m = np.zeros(target.nnz, dtype=np.int64)
-    for i in range(target.shape[0]):
-        plo, phi = pattern.indptr[i], pattern.indptr[i + 1]
-        tlo, thi = target.indptr[i], target.indptr[i + 1]
-        pos = np.searchsorted(pattern.indices[plo:phi], target.indices[tlo:thi])
-        assert np.all(pattern.indices[plo:phi][pos] == target.indices[tlo:thi])
-        m[tlo:thi] = plo + pos
-    return m

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import ctypes
 import hashlib
+import os
 
 import subprocess
 import threading
@@ -29,40 +30,53 @@ p_i64 = ctypes.POINTER(ctypes.c_int64)
 p_f64 = ctypes.POINTER(ctypes.c_double)
 
 
-_BUILD_TAG = b"O3-native-v2"  # bump when compile flags change
+_BUILD_TAG = b"v3"  # bump when compile flags change
 
 
 def _source_hash() -> str:
-    h = hashlib.sha256(_BUILD_TAG)
+    import platform
+
+    # include the host ISA: a -march=native artifact must never be reused
+    # on a different CPU (SIGILL)
+    h = hashlib.sha256(_BUILD_TAG + platform.machine().encode())
+    try:
+        h.update(open("/proc/cpuinfo", "rb").read(4096))
+    except OSError:
+        pass
     for s in _SOURCES:
         h.update((_NATIVE_DIR / s).read_bytes())
     return h.hexdigest()[:16]
 
 
 def _build() -> Path:
-    tag = _source_hash()
-    out = _NATIVE_DIR / f"libssp-{tag}.so"
-    if out.exists():
-        return out
-    cmd = [
-        "g++",
-        "-O3",
-        "-march=native",
-        "-std=c++17",
-        "-fPIC",
-        "-shared",
-        "-fopenmp",
+    base = [
+        "g++", "-O3", "-std=c++17", "-fPIC", "-shared", "-fopenmp",
         str(_NATIVE_DIR / "ssp.cpp"),
-        "-o",
-        str(out),
     ]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, text=True)
-    except subprocess.CalledProcessError:
-        # portable fallback (e.g. -march=native unsupported)
-        cmd.remove("-march=native")
-        subprocess.run(cmd, check=True, capture_output=True, text=True)
-    return out
+    h = _source_hash()
+    last_err = None
+    for extra, tag in ((["-march=native"], "native"), ([], "portable")):
+        out = _NATIVE_DIR / f"libssp-{h}-{tag}.so"
+        if out.exists():
+            return out
+        # atomic publish: concurrent builders each write a private temp and
+        # os.replace it; readers only ever see a complete artifact
+        tmp = out.with_name(out.name + f".tmp{os.getpid()}")
+        try:
+            subprocess.run(
+                base[:1] + extra + base[1:] + ["-o", str(tmp)],
+                check=True, capture_output=True, text=True,
+            )
+        except subprocess.CalledProcessError as e:
+            last_err = e
+            if "march" not in (e.stderr or ""):
+                break  # genuine source error — don't mask it with a retry
+            continue
+        os.replace(tmp, out)
+        return out
+    raise RuntimeError(
+        f"native build failed:\n{last_err.stderr if last_err else ''}"
+    )
 
 
 def get_lib():
