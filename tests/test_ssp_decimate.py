@@ -220,3 +220,15 @@ def test_decimate_torus_preserves_genus(dec_type):
     np.testing.assert_allclose(
         np.asarray(P.sum(axis=1)).ravel(), 1.0, atol=1e-9
     )
+
+
+def test_mg_precompute_reuses_seeded_level0():
+    """Caller-seeded mg[0] is reused (reference src/mg_precompute.cpp:43-49)."""
+    from surface_multigrid_code_tpu.solver.hierarchy import MGLevel
+
+    V, F = icosphere(3)
+    V2 = V * 2.0  # distinct level-0 payload
+    seeded = [MGLevel(V=V2, F=F)]
+    mg = mg_precompute(V, F, min_coarsest_nv=100, mg=seeded, verbose=False)
+    assert mg[0] is seeded[0]
+    np.testing.assert_array_equal(mg[0].V, V2)
