@@ -42,8 +42,13 @@ def _pad_to(n: int, mult: int) -> int:
     return ((n + mult - 1) // mult) * mult
 
 
-def _ell_arrays(A: sp.csr_matrix, n_rows: int, width_min: int = 1):
-    """Padded ELL (indices, data) for the first n_rows rows of A."""
+def _ell_arrays(A: sp.csr_matrix, n_rows: int, width_min: int = 1,
+                src_base: int | None = None):
+    """Padded ELL (indices, data) for the first n_rows rows of A.
+
+    With src_base, also returns the source nnz id of each slot
+    (src_base + position in A's CSR order; -1 for ELL padding) — used by
+    the refreshable path to regather values per solve."""
     A = A.tocsr()
     counts = np.diff(A.indptr)
     width = max(int(counts.max(initial=0)), width_min)
@@ -53,7 +58,11 @@ def _ell_arrays(A: sp.csr_matrix, n_rows: int, width_min: int = 1):
     slots = np.arange(A.nnz) - np.repeat(A.indptr[:-1], counts)
     idx[rows, slots] = A.indices
     dat[rows, slots] = A.data
-    return idx, dat
+    if src_base is None:
+        return idx, dat
+    src = np.full((n_rows, width), -1, dtype=np.int64)
+    src[rows, slots] = src_base + np.arange(A.nnz)
+    return idx, dat, src
 
 
 @dataclass
@@ -165,6 +174,10 @@ class HaloHierarchy:
         # boundary-adjacent to every other.  Reverse Cuthill-McKee per level
         # shrinks the halo to the O(separator) it should be; vectors are
         # permuted on entry and inverse-permuted on exit.
+        A0_orig = As[0].tocsr().copy()
+        A0_orig.sum_duplicates()
+        self._A0_orig = A0_orig
+        self._refresh_state = None
         self.perm0 = np.arange(self.n0)
         if reorder:
             from scipy.sparse.csgraph import reverse_cuthill_mckee
@@ -182,6 +195,15 @@ class HaloHierarchy:
                 for lv, P in enumerate(Ps)
             ]
             self.perm0 = perms[0]
+        for A in As:
+            A.sum_duplicates()
+        # bookkeeping for the refreshable path (populated in the level loop)
+        self._A_srcs: list[np.ndarray] = []
+        self._diag_srcs: list[np.ndarray] = []
+        self._level_nnz: list[int] = []
+        self._As_perm = As
+        self._Ps_perm = Ps
+        self._sm_cache: dict = {}
 
         host_levels: list[HaloLevelHost] = []
         for lv in range(L):
@@ -205,16 +227,21 @@ class HaloHierarchy:
                     (np.ones(pad.shape[0]), (pad, pad)), shape=(n_pad, n_pad)
                 )).tocsr()
             diag = Ap.diagonal()
-            # per-device remapped ELL
-            idxs, dats = [], []
+            # per-device remapped ELL (+ source nnz ids for the refreshable
+            # path: ids >= A.nnz are identity-pad entries, -1 is ELL padding)
+            idxs, dats, srcs = [], [], []
             w = None
             for d in range(D):
                 blk = Ap[d * R : (d + 1) * R]
-                bi, bd = _ell_arrays(blk, R)
+                bi, bd, bs = _ell_arrays(
+                    blk, R, src_base=int(Ap.indptr[d * R])
+                )
                 bi[bd == 0] = d * R  # padding -> any LOCAL row (weight 0)
+                bs[bd == 0] = -1
                 bi = _remap_columns(bi.reshape(-1), D, R, send, d).reshape(bi.shape)
                 idxs.append(bi)
                 dats.append(bd)
+                srcs.append(bs)
                 w = bi.shape[1] if w is None else max(w, bi.shape[1])
             # unify widths
             for k in range(D):
@@ -222,8 +249,26 @@ class HaloHierarchy:
                     padw = w - idxs[k].shape[1]
                     idxs[k] = np.pad(idxs[k], [(0, 0), (0, padw)])
                     dats[k] = np.pad(dats[k], [(0, 0), (0, padw)])
+                    srcs[k] = np.pad(
+                        srcs[k], [(0, 0), (0, padw)], constant_values=-1
+                    )
             A_idx = np.concatenate(idxs)
             A_dat = np.concatenate(dats)
+            A_src = np.concatenate(srcs)
+            # encode identity-pad entries (value fixed at 1.0) as -2
+            A_src[A_src >= A.nnz] = -2
+            diag_src = np.full(n_pad, -2, dtype=np.int64)
+            prows = np.repeat(np.arange(n, dtype=np.int64), np.diff(A.indptr))
+            pkeys = prows * n + A.indices
+            dkeys = np.arange(n, dtype=np.int64) * (n + 1)
+            pos = np.searchsorted(pkeys, dkeys)
+            has = (pos < pkeys.size) & (
+                pkeys[np.minimum(pos, pkeys.size - 1)] == dkeys
+            )
+            diag_src[np.flatnonzero(has)] = pos[has]
+            self._A_srcs.append(A_src)
+            self._diag_srcs.append(diag_src)
+            self._level_nnz.append(int(A.nnz))
             lam = 0.0
             if self.cfg.smoother == SmootherType.CHEBYSHEV:
                 from surface_multigrid_code_tpu.solver.vcycle import (
@@ -310,11 +355,13 @@ class HaloHierarchy:
         rep = NamedSharding(mesh, P())
         put = jax.device_put
         self.levels = []
-        for hl in host_levels:
+        for lv_i, hl in enumerate(host_levels):
             self.levels.append(
                 dict(
                     R=hl.R,
                     S=hl.S,
+                    A_src=put(jnp.asarray(self._A_srcs[lv_i]), shard),
+                    diag_src=put(jnp.asarray(self._diag_srcs[lv_i]), vec),
                     send=put(jnp.asarray(hl.send), shard),
                     A_idx=put(jnp.asarray(hl.A_idx, dtype=jnp.int32), shard),
                     A_dat=put(jnp.asarray(hl.A_dat, dtype=dtype), shard),
@@ -336,6 +383,9 @@ class HaloHierarchy:
             )
         self.coarse_inv = put(jnp.asarray(Cinv, dtype=dtype), rep)
         self._solve_jit = None
+        self._plan = None  # built lazily by enable_refresh()
+        self._n_last = As[-1].shape[0]
+        self._coarse_shift = 1e-12
 
     # ------------------------------------------------------------------
     def _shard_body(self, lvl_args, coarse_inv, rhs_l, z_l, tol, max_iter, Rs):
@@ -442,28 +492,28 @@ class HaloHierarchy:
         )
         return z_l, r_his, k
 
-    def solve(self, rhs, z0=None, tolerance=1e-3, max_iter=20):
+    def _lvl_args(self):
+        return [
+            {
+                k: v
+                for k, v in lv.items()
+                if k not in ("R", "S", "A_src", "diag_src") and v is not None
+            }
+            for lv in self.levels
+        ]
+
+    def _get_sm(self, max_iter: int, ndim: int, refreshed: bool):
+        """Cached jitted solve program for a given static configuration."""
+        key = (max_iter, ndim, refreshed)
+        if key in self._sm_cache:
+            return self._sm_cache[key]
         try:
             from jax import shard_map
         except ImportError:  # older jax
             from jax.experimental.shard_map import shard_map
 
-        R0 = self.levels[0]["R"]
-        n_pad = R0 * self.D
-        rhs = np.asarray(rhs, dtype=np.float64)
-        rhs_p = np.zeros((n_pad,) + rhs.shape[1:])
-        rhs_p[: self.n0] = rhs[self.perm0]
-        z0_p = np.zeros_like(rhs_p)
-        if z0 is not None:
-            z0_p[: self.n0] = np.asarray(z0)[self.perm0]
-        vspec = P("rows") if rhs.ndim == 1 else P("rows", None)
-
         Rs = [lv["R"] for lv in self.levels]
-        lvl_args = [
-            {k: v for k, v in lv.items() if k not in ("R", "S") and v is not None}
-            for lv in self.levels
-        ]
-        args = (lvl_args, self.coarse_inv)
+        vspec = P("rows") if ndim == 1 else P("rows", None)
 
         def spec_of(v):
             if v.ndim == 0:
@@ -472,14 +522,12 @@ class HaloHierarchy:
                 return P("rows")
             return P(*(("rows",) + (None,) * (v.ndim - 1)))
 
-        arg_specs = jax.tree_util.tree_map(spec_of, args)
-        # replicated leaves: lam_max scalars and coarse_inv
-        max_iter = int(max_iter)
-
         def body(args, rhs_l, z_l, tol):
             lvls, cinv = args
             return self._shard_body(lvls, cinv, rhs_l, z_l, tol, max_iter, Rs)
 
+        example_args = (self._lvl_args(), self.coarse_inv)
+        arg_specs = jax.tree_util.tree_map(spec_of, example_args)
         kwargs = dict(
             mesh=self.mesh,
             in_specs=(arg_specs, vspec, vspec, P()),
@@ -489,12 +537,146 @@ class HaloHierarchy:
             sm = shard_map(body, check_vma=False, **kwargs)
         except TypeError:  # older API spelling
             sm = shard_map(body, check_rep=False, **kwargs)
-        z, r_his, k = jax.jit(sm)(
-            args,
+
+        if not refreshed:
+            fn = jax.jit(sm)
+        else:
+            from surface_multigrid_code_tpu.solver.galerkin import refresh_values
+
+            def refreshed_solve(rstate, A0_vals, args, rhs_p, z0_p, tol):
+                lvls, _ = args
+                vals0 = A0_vals[rstate["perm_nnz"]]
+                level_vals = refresh_values(
+                    rstate["plan"], vals0.astype(self.dtype), raw=True
+                )
+                new_lvls = []
+                for lv, (la, src, dsrc, v) in enumerate(
+                    zip(lvls, rstate["A_src"], rstate["diag_src"], level_vals)
+                ):
+                    la = dict(la)
+                    safe = jnp.clip(src, 0, v.shape[0] - 1)
+                    la["A_dat"] = jnp.where(
+                        src >= 0,
+                        v[safe],
+                        jnp.where(src == -2, 1.0, 0.0),
+                    ).astype(self.dtype)
+                    la["diag"] = jnp.where(
+                        dsrc >= 0, v[jnp.clip(dsrc, 0, v.shape[0] - 1)], 1.0
+                    ).astype(self.dtype)
+                    new_lvls.append(la)
+                # replicated dense coarsest + Cholesky inverse (SPD refresh
+                # systems, as in solver/refresh.py)
+                nLp = Rs[-1] * self.D
+                dense = jnp.zeros((nLp, nLp), dtype=self.dtype)
+                dense = dense.at[rstate["rowsL"], rstate["colsL"]].add(
+                    level_vals[-1].astype(self.dtype)
+                )
+                pad_ids = jnp.arange(self._n_last, nLp)
+                dense = dense.at[pad_ids, pad_ids].add(1.0)
+                dense = dense + self._coarse_shift * jnp.eye(
+                    nLp, dtype=self.dtype
+                )
+                chol = jnp.linalg.cholesky(dense)
+                cinv = jax.scipy.linalg.cho_solve(
+                    (chol, True), jnp.eye(nLp, dtype=self.dtype)
+                )
+                return sm((new_lvls, cinv), rhs_p, z0_p, tol)
+
+            fn = jax.jit(refreshed_solve)
+        self._sm_cache[key] = fn
+        return fn
+
+    def _pad_vec(self, v):
+        R0 = self.levels[0]["R"]
+        n_pad = R0 * self.D
+        v = np.asarray(v, dtype=np.float64)
+        out = np.zeros((n_pad,) + v.shape[1:])
+        out[: self.n0] = v[self.perm0]
+        return out
+
+    def solve(self, rhs, z0=None, tolerance=1e-3, max_iter=20):
+        rhs = np.asarray(rhs, dtype=np.float64)
+        rhs_p = self._pad_vec(rhs)
+        z0_p = np.zeros_like(rhs_p) if z0 is None else self._pad_vec(z0)
+        fn = self._get_sm(int(max_iter), rhs.ndim, refreshed=False)
+        z, r_his, k = fn(
+            (self._lvl_args(), self.coarse_inv),
             jnp.asarray(rhs_p, dtype=self.dtype),
             jnp.asarray(z0_p, dtype=self.dtype),
             jnp.asarray(float(tolerance), dtype=self.dtype),
         )
+        return self._finish(z, r_his, k, rhs, tolerance)
+
+    # ------------------------------------------------------------------
+    # sharded value refresh: solve with fresh finest nnz values on the
+    # fixed hierarchy/partition (multi-chip analog of RefreshableMGSolver)
+    # ------------------------------------------------------------------
+    def enable_refresh(self):
+        """Build the (permuted-pattern) Galerkin plan and value maps.
+
+        Afterwards `solve_values(A0_vals, ...)` accepts finest nnz values in
+        the ORIGINAL (pre-RCM) canonical CSR order of the A0 pattern this
+        hierarchy was built from.  NOTE: the hierarchy must have been built
+        from PATTERN matrices with no numerically-zero entries (zero values
+        get their ELL slots rerouted during remapping)."""
+        from surface_multigrid_code_tpu.solver.galerkin import (
+            build_galerkin_plan,
+        )
+        from surface_multigrid_code_tpu.solver.refresh import csr_slot_map
+
+        A0p = self._As_perm[0]
+        plan = build_galerkin_plan(A0p, self._Ps_perm)
+        # original CSR order -> permuted order
+        A0_orig = self._A0_orig
+        invp = np.empty(self.n0, dtype=np.int64)
+        invp[self.perm0] = np.arange(self.n0)
+        orows = np.repeat(
+            np.arange(self.n0, dtype=np.int64), np.diff(A0_orig.indptr)
+        )
+        # slot_of_orig[k] = permuted position of original nnz k; the gather
+        # needs the inverse (original id FOR each permuted slot)
+        slot_of_orig = csr_slot_map(A0p, invp[orows], invp[A0_orig.indices])
+        perm_nnz = np.empty_like(slot_of_orig)
+        perm_nnz[slot_of_orig] = np.arange(slot_of_orig.shape[0])
+        AL = self._As_perm[-1]
+        rowsL = np.repeat(
+            np.arange(AL.shape[0], dtype=np.int64), np.diff(AL.indptr)
+        )
+        shard = NamedSharding(self.mesh, P("rows", None))
+        vec = NamedSharding(self.mesh, P("rows"))
+        self._refresh_state = {
+            "plan": plan,
+            "perm_nnz": jnp.asarray(perm_nnz),
+            "rowsL": jnp.asarray(rowsL),
+            "colsL": jnp.asarray(AL.indices.astype(np.int64)),
+            "A_src": tuple(
+                jax.device_put(jnp.asarray(s), shard) for s in self._A_srcs
+            ),
+            "diag_src": tuple(
+                jax.device_put(jnp.asarray(s), vec) for s in self._diag_srcs
+            ),
+        }
+        return self
+
+    def solve_values(self, A0_vals, rhs, z0=None, tolerance=1e-3, max_iter=20):
+        """Refresh all levels' values from finest nnz values + solve, in one
+        jitted sharded program.  Requires enable_refresh()."""
+        assert self._refresh_state is not None, "call enable_refresh() first"
+        rhs = np.asarray(rhs, dtype=np.float64)
+        rhs_p = self._pad_vec(rhs)
+        z0_p = np.zeros_like(rhs_p) if z0 is None else self._pad_vec(z0)
+        fn = self._get_sm(int(max_iter), rhs.ndim, refreshed=True)
+        z, r_his, k = fn(
+            self._refresh_state,
+            jnp.asarray(A0_vals),
+            (self._lvl_args(), self.coarse_inv),
+            jnp.asarray(rhs_p, dtype=self.dtype),
+            jnp.asarray(z0_p, dtype=self.dtype),
+            jnp.asarray(float(tolerance), dtype=self.dtype),
+        )
+        return self._finish(z, r_his, k, rhs, tolerance)
+
+    def _finish(self, z, r_his, k, rhs, tolerance):
         k = int(k)
         r_list = [float(r) for r in np.asarray(r_his)[:k]]
         z_out = np.empty((self.n0,) + rhs.shape[1:])

@@ -204,19 +204,24 @@ def build_galerkin_plan(A0_pattern: sp.csr_matrix, Ps: list[sp.spmatrix]) -> Gal
     return GalerkinPlan(levels=tuple(levels), lvl0=lvl0)
 
 
-def refresh_values(plan: GalerkinPlan, A0_vals: jnp.ndarray, dtype=None):
+def refresh_values(plan: GalerkinPlan, A0_vals: jnp.ndarray, dtype=None,
+                   raw: bool = False):
     """All-level Galerkin value refresh on device.
 
     A0_vals: finest-level CSR nnz values (pattern = the one given to
     build_galerkin_plan).  Returns per-level (ell_data [n,width], diag [n]),
-    finest first.  Jit-friendly: shapes static, one gather+segment_sum per
-    level.
+    finest first — or, with raw=True, the per-level nnz value VECTORS in
+    canonical CSR order (for consumers with their own layouts, e.g. the
+    sharded halo solver).  Jit-friendly: shapes static, one
+    gather+segment_sum per level.
     """
     dtype = dtype or A0_vals.dtype
     vals = A0_vals.astype(dtype)
     out = []
 
     def to_ell(pl_, v):
+        if raw:
+            return v
         data = jnp.zeros(pl_.ell_shape, dtype=dtype)
         data = data.at[pl_.ell_rows, pl_.ell_cols].set(v)
         return data, v[pl_.diag_idx]

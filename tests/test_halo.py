@@ -61,7 +61,8 @@ def test_halo_matches_gspmd_path():
     As, Ps, rhs = hierarchy_system()
     mesh = make_row_mesh(4)
     cfg = SolveConfig(smoother=SmootherType.JACOBI)
-    halo = HaloHierarchy(As, Ps, mesh, cfg=cfg, dtype=jnp.float64)
+    # reorder=False so float summation order matches the GSPMD path exactly
+    halo = HaloHierarchy(As, Ps, mesh, cfg=cfg, dtype=jnp.float64, reorder=False)
     z1, r1, _ = halo.solve(rhs, tolerance=1e-8, max_iter=30)
     hier, sizes = build_sharded_hierarchy(As, Ps, mesh, dtype=jnp.float64)
     z2, r2, _ = sharded_solve(
