@@ -123,6 +123,148 @@ class BalloonNewtonSolver:
         )
 
 
+class DeviceBalloonStepper:
+    """Whole implicit-Euler step as ONE jitted device program.
+
+    `implicit_euler_mg_balloon` mirrors the reference's host-orchestrated
+    Newton loop (one multigrid solve dispatch + host line search per
+    iteration).  This stepper moves the entire step on device:
+    lax.fori_loop over Newton iterations, each doing autodiff gradient,
+    per-face Hessian assembly (segment_sum into the finest nnz slots),
+    cached-symbolic Galerkin refresh + V-cycle solve, and a
+    lax.while_loop backtracking line search (c=1e-8, p=0.5, alpha>1e-8,
+    unchanged qdot when no step length passes — reference
+    implicit_euler_mg_balloon.h:80-114 semantics)."""
+
+    def __init__(self, shell: ShellEnergy, M: sp.csr_matrix, mg, dt: float,
+                 mg_tolerance: float = 2e-1, n_newton: int = 10,
+                 max_cycles: int = 20, cfg=None, dtype=None):
+        import jax
+        import jax.numpy as jnp
+        from surface_multigrid_code_tpu.solver.vcycle import solve_loop
+
+        ns = BalloonNewtonSolver(shell, M, mg, cfg=cfg, dtype=dtype)
+        self.newton_solver = ns
+        solver = ns.solver
+        dtype = solver.dtype
+        self.dtype = dtype
+        cfg = solver.cfg
+        dt = float(dt)
+        Fj = jnp.asarray(shell.F)
+        state = {
+            "solver": solver._state,
+            "slots": jnp.asarray(ns.slots),
+            "Mdiag_slots": jnp.asarray(ns.Mdiag_slots),
+            "Mdiag": jnp.asarray(ns.Mdiag, dtype=dtype),
+            "abars": shell.abars.astype(dtype),
+            "F": Fj,
+        }
+        if shell.bending:
+            state["opp"] = jnp.asarray(shell.opp)
+            state["mask"] = jnp.asarray(shell.mask)
+            state["bbars"] = shell.bbars.astype(dtype)
+
+        nnz = ns.pattern.nnz
+
+        def energy(st, x_flat):
+            from surface_multigrid_code_tpu.models.shell import _energy_sum
+
+            bend = None
+            if shell.bending:
+                bend = (st["opp"], st["mask"], st["bbars"])
+            return _energy_sum(
+                x_flat, st["F"], st["abars"], shell.thickness, shell.alpha,
+                shell.beta, shell.material, bend=bend,
+            )
+
+        grad_e = jax.grad(energy, argnums=1)
+
+        def hess_vals(st, x_flat):
+            # reuse the shell's vmapped per-face Hessian kernels
+            xv = x_flat.reshape(-1, 3)
+            x9 = xv[st["F"]].reshape(-1, 9)
+            entries = [shell._face_hess(x9, st["abars"]).reshape(-1)]
+            if shell.bending:
+                x18 = jnp.concatenate(
+                    [x9, xv[st["opp"]].reshape(-1, 9)], axis=1
+                )
+                entries.append(
+                    shell._face_hess_bend(
+                        x18, st["abars"], st["bbars"], st["mask"]
+                    ).reshape(-1)
+                )
+            vals = jax.ops.segment_sum(
+                dt * dt * jnp.concatenate(entries), st["slots"],
+                num_segments=nnz,
+            )
+            return vals.at[st["Mdiag_slots"]].add(st["Mdiag"])
+
+        def step(st, curPos0, qdot0, fExt):
+            curPos0 = curPos0.astype(dtype)
+            qdot0 = qdot0.astype(dtype)
+            fExt = fExt.astype(dtype)
+            Md = st["Mdiag"]
+
+            def total_energy(qdot):
+                dq = qdot - qdot0
+                Ek = 0.5 * (dq * Md * dq).sum()
+                newPos = curPos0.reshape(-1) + dt * qdot
+                return Ek + (newPos * fExt).sum() + energy(st, newPos)
+
+            def newton(i, carry):
+                qdot, _ = carry
+                x = (curPos0.reshape(-1) + dt * qdot)
+                G = grad_e(st, x)
+                vals = hess_vals(st, x)
+                g = -(Md * (qdot - qdot0) + dt * G + dt * fExt)
+                hier = solver._refresh_impl(st["solver"], vals)
+                dx, _r, _k = solve_loop(
+                    hier, g, jnp.zeros_like(g),
+                    jnp.asarray(mg_tolerance, dtype=dtype), max_cycles, cfg,
+                )
+                # backtracking line search
+                f0 = total_energy(qdot)
+                s = f0 + 1e-8 * (g * dx).sum()
+
+                def ls_cond(c):
+                    alpha, found = c
+                    return jnp.logical_and(~found, alpha > 1e-8)
+
+                def ls_body(c):
+                    alpha, _ = c
+                    ok = total_energy(qdot + alpha * dx) <= s
+                    return (jnp.where(ok, alpha, alpha * 0.5), ok)
+
+                alpha, found = jax.lax.while_loop(
+                    ls_cond, ls_body,
+                    (jnp.asarray(1.0, dtype=dtype), jnp.asarray(False)),
+                )
+                qdot = qdot + jnp.where(found, alpha, 0.0) * dx
+                return (qdot, alpha)
+
+            qdot, _ = jax.lax.fori_loop(
+                0, n_newton, newton, (qdot0, jnp.asarray(1.0, dtype=dtype))
+            )
+            curPos = curPos0 + dt * qdot.reshape(-1, 3)
+            return curPos, qdot
+
+        self._state = state
+        self._step = jax.jit(step)
+
+    def step(self, curPos, qdot, fExt):
+        """One implicit Euler step; returns (curPos_next, qdot_next)."""
+        import jax.numpy as jnp
+
+        p, q = self._step(
+            self._state, jnp.asarray(curPos), jnp.asarray(qdot),
+            jnp.asarray(fExt),
+        )
+        return (
+            np.asarray(p, dtype=np.float64),
+            np.asarray(q, dtype=np.float64),
+        )
+
+
 def implicit_euler_balloon_direct(
     shell: ShellEnergy,
     M: sp.csr_matrix,
