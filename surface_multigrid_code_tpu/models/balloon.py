@@ -79,6 +79,10 @@ class BalloonNewtonSolver:
         pattern.sum_duplicates()
         self.pattern = pattern
         self.slots = csr_slot_map(pattern, rows, cols)
+        # sorted-scatter fast path: reorder the per-face Hessian entries so
+        # the device segment_sum sees ascending segment ids
+        self.slots_order = np.argsort(self.slots, kind="stable")
+        self.slots_sorted = self.slots[self.slots_order]
         self.Mdiag_slots = csr_slot_map(
             pattern, np.arange(n3), np.arange(n3)
         )
@@ -114,12 +118,15 @@ class BalloonNewtonSolver:
                 ).reshape(-1)
             )
         vals = jax.ops.segment_sum(
-            dt * dt * jnp.concatenate(entries),
-            jnp.asarray(self.slots),
+            (dt * dt * jnp.concatenate(entries))[jnp.asarray(self.slots_order)],
+            jnp.asarray(self.slots_sorted),
             num_segments=self.pattern.nnz,
+            indices_are_sorted=True,
         )
         return vals.at[jnp.asarray(self.Mdiag_slots)].add(
-            jnp.asarray(self.Mdiag, dtype=vals.dtype)
+            jnp.asarray(self.Mdiag, dtype=vals.dtype),
+            indices_are_sorted=True,
+            unique_indices=True,
         )
 
 
@@ -153,7 +160,8 @@ class DeviceBalloonStepper:
         Fj = jnp.asarray(shell.F)
         state = {
             "solver": solver._state,
-            "slots": jnp.asarray(ns.slots),
+            "slots_order": jnp.asarray(ns.slots_order),
+            "slots_sorted": jnp.asarray(ns.slots_sorted),
             "Mdiag_slots": jnp.asarray(ns.Mdiag_slots),
             "Mdiag": jnp.asarray(ns.Mdiag, dtype=dtype),
             "abars": shell.abars.astype(dtype),
@@ -194,10 +202,14 @@ class DeviceBalloonStepper:
                     ).reshape(-1)
                 )
             vals = jax.ops.segment_sum(
-                dt * dt * jnp.concatenate(entries), st["slots"],
+                (dt * dt * jnp.concatenate(entries))[st["slots_order"]],
+                st["slots_sorted"],
                 num_segments=nnz,
+                indices_are_sorted=True,
             )
-            return vals.at[st["Mdiag_slots"]].add(st["Mdiag"])
+            return vals.at[st["Mdiag_slots"]].add(
+                st["Mdiag"], indices_are_sorted=True, unique_indices=True
+            )
 
         def step(st, curPos0, qdot0, fExt):
             curPos0 = curPos0.astype(dtype)

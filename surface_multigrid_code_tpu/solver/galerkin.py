@@ -223,15 +223,20 @@ def refresh_values(plan: GalerkinPlan, A0_vals: jnp.ndarray, dtype=None,
         if raw:
             return v
         data = jnp.zeros(pl_.ell_shape, dtype=dtype)
-        data = data.at[pl_.ell_rows, pl_.ell_cols].set(v)
+        # destinations are unique and row-major sorted (plan construction)
+        data = data.at[pl_.ell_rows, pl_.ell_cols].set(
+            v, indices_are_sorted=True, unique_indices=True
+        )
         return data, v[pl_.diag_idx]
 
     out.append(to_ell(plan.lvl0, vals))
     for pl_ in plan.levels:
+        # seg is ascending by construction (sorted (row, col) expansion)
         vals = jax.ops.segment_sum(
             pl_.w.astype(dtype) * vals[pl_.idx_in],
             pl_.seg,
             num_segments=pl_.nnz_out,
+            indices_are_sorted=True,
         )
         out.append(to_ell(pl_, vals))
     return out
