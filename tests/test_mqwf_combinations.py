@@ -63,3 +63,32 @@ def test_hierarchy_reused_across_precomputes():
             data, rhs, known_val=kv, tolerance=1e-8, max_iter=40
         )
         assert ok, (it, r_his)
+
+
+def test_heavy_constraint_pruning():
+    """Half the mesh constrained: P columns prune aggressively level by
+    level (reference src/min_quad_with_fixed_mg.cpp:181-220) and the
+    constrained solve still matches a sparse direct solve."""
+    V, F = icosphere(3)
+    mg = mg_precompute(V, F, min_coarsest_nv=80, verbose=False)
+    n = V.shape[0]
+    rng = np.random.default_rng(11)
+    known = np.sort(rng.choice(n, size=n // 2, replace=False))
+    kv = rng.normal(size=known.shape[0])
+    A = (-sp.csr_matrix(cotmatrix(V, F))).tocsr()
+    M = massmatrix(V, F)
+    rhs = np.asarray(M @ np.ones(n))
+    data = min_quad_with_fixed_mg_precompute(A, known, mg)
+    # pruning actually happened: coarser P narrower than P_full
+    assert mg[1].P.shape[1] < mg[1].P_full.shape[1]
+    assert mg[1].P.shape[0] == n - known.shape[0]
+    z, r_his, ok = min_quad_with_fixed_mg_solve(
+        data, rhs, known_val=kv, tolerance=1e-10, max_iter=60
+    )
+    assert ok, r_his
+    unknown = np.setdiff1d(np.arange(n), known)
+    z_ref = sp.linalg.spsolve(
+        A[unknown][:, unknown].tocsc(),
+        rhs[unknown] - A[unknown][:, known] @ kv,
+    )
+    np.testing.assert_allclose(z[unknown], z_ref, atol=1e-7)
