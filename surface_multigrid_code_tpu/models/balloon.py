@@ -66,7 +66,10 @@ class BalloonNewtonSolver:
             csr_slot_map,
         )
 
-        cfg = cfg or SolveConfig(smoother=SmootherType.MULTICOLOR_GS)
+        # Chebyshev default: interleaved block patterns need ~21 GS colors
+        # (vertex graph x K3), making colored sweeps scatter-heavy on TPU;
+        # the SpMV-only Chebyshev recurrence is ~1000x faster per cycle
+        cfg = cfg or SolveConfig(smoother=SmootherType.CHEBYSHEV)
         n3 = M.shape[0]
         rows, cols = shell._rows, shell._cols
         if shell.bending:
@@ -79,13 +82,25 @@ class BalloonNewtonSolver:
         pattern.sum_duplicates()
         self.pattern = pattern
         self.slots = csr_slot_map(pattern, rows, cols)
-        # sorted-scatter fast path: reorder the per-face Hessian entries so
-        # the device segment_sum sees ascending segment ids
-        self.slots_order = np.argsort(self.slots, kind="stable")
-        self.slots_sorted = self.slots[self.slots_order]
+        # gather-only assembly: for each pattern nnz, the (padded) list of
+        # contributing per-face Hessian entry positions
+        from surface_multigrid_code_tpu.solver.galerkin import _ellize_segments
+
+        order = np.argsort(self.slots, kind="stable")
+        gi, gw, ti, tw, ts = _ellize_segments(
+            self.slots[order], order, np.ones(order.shape[0]),
+            order.shape[0], pattern.nnz, W_cap=24,
+        )
+        self.asm_gather = gi
+        self.asm_tail_idx = ti   # rare long segments (bending diagonals)
+        self.asm_tail_seg = ts
         self.Mdiag_slots = csr_slot_map(
             pattern, np.arange(n3), np.arange(n3)
         )
+        # per-nnz mass gather (diagonal mass folded without a scatter)
+        md = np.full(pattern.nnz, n3, dtype=np.int64)
+        md[self.Mdiag_slots] = np.arange(n3)
+        self.mass_gather = md
         self.Mdiag = np.asarray(M.diagonal())
         if dtype is None:
             # f64 on CPU (x64 enabled in tests); f32 on TPU where f64 is
@@ -117,17 +132,21 @@ class BalloonNewtonSolver:
                     x18, shell.abars, shell.bbars, jnp.asarray(shell.mask)
                 ).reshape(-1)
             )
-        vals = jax.ops.segment_sum(
-            (dt * dt * jnp.concatenate(entries))[jnp.asarray(self.slots_order)],
-            jnp.asarray(self.slots_sorted),
-            num_segments=self.pattern.nnz,
-            indices_are_sorted=True,
+        e = dt * dt * jnp.concatenate(entries)
+        epad = jnp.concatenate([e, jnp.zeros(1, dtype=e.dtype)])
+        vals = epad[jnp.asarray(self.asm_gather)].sum(axis=1)
+        if self.asm_tail_idx.shape[0]:
+            vals = vals + jax.ops.segment_sum(
+                epad[jnp.asarray(self.asm_tail_idx)],
+                jnp.asarray(self.asm_tail_seg),
+                num_segments=self.pattern.nnz,
+                indices_are_sorted=True,
+            )
+        mpad = jnp.concatenate(
+            [jnp.asarray(self.Mdiag, dtype=vals.dtype),
+             jnp.zeros(1, dtype=vals.dtype)]
         )
-        return vals.at[jnp.asarray(self.Mdiag_slots)].add(
-            jnp.asarray(self.Mdiag, dtype=vals.dtype),
-            indices_are_sorted=True,
-            unique_indices=True,
-        )
+        return vals + mpad[jnp.asarray(self.mass_gather)]
 
 
 class DeviceBalloonStepper:
@@ -160,9 +179,10 @@ class DeviceBalloonStepper:
         Fj = jnp.asarray(shell.F)
         state = {
             "solver": solver._state,
-            "slots_order": jnp.asarray(ns.slots_order),
-            "slots_sorted": jnp.asarray(ns.slots_sorted),
-            "Mdiag_slots": jnp.asarray(ns.Mdiag_slots),
+            "asm_gather": jnp.asarray(ns.asm_gather),
+            "asm_tail_idx": jnp.asarray(ns.asm_tail_idx),
+            "asm_tail_seg": jnp.asarray(ns.asm_tail_seg),
+            "mass_gather": jnp.asarray(ns.mass_gather),
             "Mdiag": jnp.asarray(ns.Mdiag, dtype=dtype),
             "abars": shell.abars.astype(dtype),
             "F": Fj,
@@ -201,15 +221,18 @@ class DeviceBalloonStepper:
                         x18, st["abars"], st["bbars"], st["mask"]
                     ).reshape(-1)
                 )
-            vals = jax.ops.segment_sum(
-                (dt * dt * jnp.concatenate(entries))[st["slots_order"]],
-                st["slots_sorted"],
-                num_segments=nnz,
-                indices_are_sorted=True,
+            e = dt * dt * jnp.concatenate(entries)
+            epad = jnp.concatenate([e, jnp.zeros(1, dtype=e.dtype)])
+            vals = epad[st["asm_gather"]].sum(axis=1)
+            if st["asm_tail_idx"].shape[0]:
+                vals = vals + jax.ops.segment_sum(
+                    epad[st["asm_tail_idx"]], st["asm_tail_seg"],
+                    num_segments=nnz, indices_are_sorted=True,
+                )
+            mpad = jnp.concatenate(
+                [st["Mdiag"], jnp.zeros(1, dtype=st["Mdiag"].dtype)]
             )
-            return vals.at[st["Mdiag_slots"]].add(
-                st["Mdiag"], indices_are_sorted=True, unique_indices=True
-            )
+            return vals + mpad[st["mass_gather"]]
 
         def step(st, curPos0, qdot0, fExt):
             curPos0 = curPos0.astype(dtype)

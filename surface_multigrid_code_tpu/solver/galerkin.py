@@ -34,35 +34,49 @@ import jax.numpy as jnp
 class LevelPlan:
     """Symbolic PtAP for one level (static per hierarchy).
 
+    The triple product is stored GATHER-ONLY: short segments (the vast
+    majority) are padded into an ELL layout [nnz_out, W] contracted with
+    one gather+multiply+reduce, and the long-segment tail (if any) goes
+    through a sorted segment_sum — TPU scatter-adds are ~100x slower than
+    gathers, so avoiding them dominates refresh time.
+
     Registered as a pytree so plans can be passed as jit ARGUMENTS —
     closure-capturing these (multi-million-entry) arrays would embed them
     as compile-time constants, which on the remote-compile backend ships
     hundreds of MB per compilation."""
 
-    idx_in: jnp.ndarray   # [n_triples] index into A_in nnz values
-    w: jnp.ndarray        # [n_triples] folded P[a] * P[c] weights
-    seg: jnp.ndarray      # [n_triples] output nnz id (sorted)
+    # ELL-ized short segments: indices into the A_in value vector PADDED by
+    # one trailing zero (index n_in = padding), with folded P*P weights
+    gat_idx: jnp.ndarray   # [nnz_out, W] int32
+    gat_w: jnp.ndarray     # [nnz_out, W]
+    # long-segment tail (may be empty)
+    tail_idx: jnp.ndarray  # [n_tail] into A_in values
+    tail_w: jnp.ndarray    # [n_tail]
+    tail_seg: jnp.ndarray  # [n_tail] output nnz id (ascending)
+    nnz_in: int
     nnz_out: int
-    # scatter of output nnz values into the ELL (indices,data) layout
-    ell_rows: jnp.ndarray  # [nnz_out]
-    ell_cols: jnp.ndarray  # [nnz_out] slot within the padded row
+    # ELL layout of the output level: gather map from value vector
+    # (padded by one trailing zero) into [n, width]
+    ell_gather: jnp.ndarray   # [n, width] int32 (nnz_out = padding)
     ell_shape: tuple[int, int]
     ell_indices: jnp.ndarray  # static int32 [n, width] column ids
     diag_idx: jnp.ndarray     # [n] nnz id of each diagonal entry
 
     def tree_flatten(self):
         children = (
-            self.idx_in, self.w, self.seg, self.ell_rows, self.ell_cols,
-            self.ell_indices, self.diag_idx,
+            self.gat_idx, self.gat_w, self.tail_idx, self.tail_w,
+            self.tail_seg, self.ell_gather, self.ell_indices, self.diag_idx,
         )
-        return children, (self.nnz_out, self.ell_shape)
+        return children, (self.nnz_in, self.nnz_out, self.ell_shape)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        idx_in, w, seg, ell_rows, ell_cols, ell_indices, diag_idx = children
+        (gat_idx, gat_w, tail_idx, tail_w, tail_seg, ell_gather,
+         ell_indices, diag_idx) = children
         return cls(
-            idx_in=idx_in, w=w, seg=seg, nnz_out=aux[0], ell_rows=ell_rows,
-            ell_cols=ell_cols, ell_shape=aux[1], ell_indices=ell_indices,
+            gat_idx=gat_idx, gat_w=gat_w, tail_idx=tail_idx, tail_w=tail_w,
+            tail_seg=tail_seg, nnz_in=aux[0], nnz_out=aux[1],
+            ell_gather=ell_gather, ell_shape=aux[2], ell_indices=ell_indices,
             diag_idx=diag_idx,
         )
 
@@ -83,8 +97,10 @@ class GalerkinPlan:
 
 
 def _ell_layout(A: sp.csr_matrix, min_width: int = 1):
-    """Static ELL layout of a CSR pattern: per-nnz (row, slot) + padded
-    column ids (padding points at row 0 with weight 0 — ops/sparse.py)."""
+    """Static ELL layout of a CSR pattern: a GATHER map from the nnz value
+    vector (padded by one trailing zero at index nnz) into [n, width],
+    plus padded column ids (padding points at row 0 with weight 0 —
+    ops/sparse.py) and diagonal nnz ids."""
     n, _ = A.shape
     counts = np.diff(A.indptr)
     width = max(int(counts.max(initial=0)), min_width)
@@ -92,14 +108,36 @@ def _ell_layout(A: sp.csr_matrix, min_width: int = 1):
     slots = np.arange(A.nnz) - np.repeat(A.indptr[:-1], counts)
     indices = np.zeros((n, width), dtype=np.int32)
     indices[rows, slots] = A.indices
-    # diagonal nnz ids
-    diag_idx = np.zeros(n, dtype=np.int64)
-    for i in range(n):
-        lo, hi = A.indptr[i], A.indptr[i + 1]
-        j = np.searchsorted(A.indices[lo:hi], i)
-        assert lo + j < hi and A.indices[lo + j] == i, "missing diagonal"
-        diag_idx[i] = lo + j
-    return rows, slots, (n, width), indices, diag_idx
+    gather = np.full((n, width), A.nnz, dtype=np.int32)
+    gather[rows, slots] = np.arange(A.nnz, dtype=np.int32)
+    # diagonal nnz ids (vectorized: canonical CSR keys are globally sorted)
+    pkeys = rows.astype(np.int64) * A.shape[1] + A.indices
+    dkeys = np.arange(n, dtype=np.int64) * (A.shape[1] + 1)
+    pos = np.searchsorted(pkeys, dkeys)
+    ok = (pos < pkeys.size) & (pkeys[np.minimum(pos, pkeys.size - 1)] == dkeys)
+    assert ok.all(), "missing diagonal"
+    diag_idx = pos.astype(np.int64)
+    return gather, (n, width), indices, diag_idx
+
+
+def _ellize_segments(seg, idx, w, nnz_in, nnz_out, W_cap=32):
+    """Split sorted segments into an ELL part (first <= W entries of each
+    segment) and a tail for segment_sum.  Padding gathers the trailing zero
+    at index nnz_in with weight 0."""
+    counts = np.bincount(seg, minlength=nnz_out)
+    W = int(min(max(counts.max(initial=1), 1), W_cap))
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    pos_in_seg = np.arange(seg.shape[0]) - starts[seg]
+    in_ell = pos_in_seg < W
+    gat_idx = np.full((nnz_out, W), nnz_in, dtype=np.int32)
+    gat_w = np.zeros((nnz_out, W))
+    gat_idx[seg[in_ell], pos_in_seg[in_ell]] = idx[in_ell]
+    gat_w[seg[in_ell], pos_in_seg[in_ell]] = w[in_ell]
+    tail = ~in_ell
+    return (
+        gat_idx, gat_w,
+        idx[tail].astype(np.int64), w[tail], seg[tail].astype(np.int64),
+    )
 
 
 def _level_symbolic(A: sp.csr_matrix, P: sp.csr_matrix) -> LevelPlan:
@@ -146,17 +184,21 @@ def _level_symbolic(A: sp.csr_matrix, P: sp.csr_matrix) -> LevelPlan:
     A_out = sp.csr_matrix(
         (np.zeros(nnz_out), out_cols, indptr), shape=(nc, nc)
     )
-    rows, slots, shape, indices, diag_idx = _ell_layout(A_out)
-    w = np.ones(total)  # weights folded below
+    gather, shape, indices, diag_idx = _ell_layout(A_out)
     Pdat = P.data
     w = Pdat[a[order]] * Pdat[c[order]]
+    gat_idx, gat_w, tail_idx, tail_w, tail_seg = _ellize_segments(
+        seg, b[order], w, nnzA, nnz_out
+    )
     return LevelPlan(
-        idx_in=jnp.asarray(b[order]),
-        w=jnp.asarray(w),
-        seg=jnp.asarray(seg),
+        gat_idx=jnp.asarray(gat_idx),
+        gat_w=jnp.asarray(gat_w),
+        tail_idx=jnp.asarray(tail_idx),
+        tail_w=jnp.asarray(tail_w),
+        tail_seg=jnp.asarray(tail_seg),
+        nnz_in=nnzA,
         nnz_out=nnz_out,
-        ell_rows=jnp.asarray(rows),
-        ell_cols=jnp.asarray(slots),
+        ell_gather=jnp.asarray(gather),
         ell_shape=shape,
         ell_indices=jnp.asarray(indices),
         diag_idx=jnp.asarray(diag_idx),
@@ -171,14 +213,17 @@ def build_galerkin_plan(A0_pattern: sp.csr_matrix, Ps: list[sp.spmatrix]) -> Gal
     """
     A = A0_pattern.tocsr().copy()
     A.sum_duplicates()
-    rows, slots, shape, indices, diag_idx = _ell_layout(A)
+    gather, shape, indices, diag_idx = _ell_layout(A)
+    empty_i = jnp.zeros(0, dtype=jnp.int64)
     lvl0 = LevelPlan(
-        idx_in=jnp.zeros(0, dtype=jnp.int64),
-        w=jnp.zeros(0),
-        seg=jnp.zeros(0, dtype=jnp.int64),
+        gat_idx=jnp.zeros((0, 1), dtype=jnp.int32),
+        gat_w=jnp.zeros((0, 1)),
+        tail_idx=empty_i,
+        tail_w=jnp.zeros(0),
+        tail_seg=empty_i,
+        nnz_in=A.nnz,
         nnz_out=A.nnz,
-        ell_rows=jnp.asarray(rows),
-        ell_cols=jnp.asarray(slots),
+        ell_gather=jnp.asarray(gather),
         ell_shape=shape,
         ell_indices=jnp.asarray(indices),
         diag_idx=jnp.asarray(diag_idx),
@@ -188,20 +233,22 @@ def build_galerkin_plan(A0_pattern: sp.csr_matrix, Ps: list[sp.spmatrix]) -> Gal
     for P in Ps:
         plan = _level_symbolic(A_sym, P.tocsr())
         levels.append(plan)
-        # symbolic A for the next level: pattern only
-        n_next = P.shape[1]
-        counts = np.bincount(
-            np.asarray(plan.ell_rows), minlength=n_next
-        )
-        indptr = np.concatenate([[0], np.cumsum(counts)])
-        # reconstruct CSR pattern from the plan's sorted (row, col) layout
-        cols = np.zeros(plan.nnz_out, dtype=np.int64)
-        cols_from_ell = np.asarray(plan.ell_indices)
-        cols = cols_from_ell[np.asarray(plan.ell_rows), np.asarray(plan.ell_cols)]
-        A_sym = sp.csr_matrix(
-            (np.ones(plan.nnz_out), cols, indptr), shape=(n_next, n_next)
-        )
+        A_sym = plan_pattern(plan)
     return GalerkinPlan(levels=tuple(levels), lvl0=lvl0)
+
+
+def plan_pattern(plan: LevelPlan) -> sp.csr_matrix:
+    """Reconstruct a level's CSR pattern from its ELL gather layout
+    (real slots are those gathering below nnz_out)."""
+    n, w = plan.ell_shape
+    gather = np.asarray(plan.ell_gather)
+    cols = np.asarray(plan.ell_indices)
+    valid = gather < plan.nnz_out
+    rows = np.repeat(np.arange(n), w).reshape(n, w)
+    return sp.coo_matrix(
+        (np.ones(int(valid.sum())), (rows[valid], cols[valid])),
+        shape=(n, n),
+    ).tocsr()
 
 
 def refresh_values(plan: GalerkinPlan, A0_vals: jnp.ndarray, dtype=None,
@@ -222,21 +269,21 @@ def refresh_values(plan: GalerkinPlan, A0_vals: jnp.ndarray, dtype=None,
     def to_ell(pl_, v):
         if raw:
             return v
-        data = jnp.zeros(pl_.ell_shape, dtype=dtype)
-        # destinations are unique and row-major sorted (plan construction)
-        data = data.at[pl_.ell_rows, pl_.ell_cols].set(
-            v, indices_are_sorted=True, unique_indices=True
-        )
-        return data, v[pl_.diag_idx]
+        # gather-only ELL fill (padding slot reads the appended zero)
+        vpad = jnp.concatenate([v, jnp.zeros(1, dtype=dtype)])
+        return vpad[pl_.ell_gather], v[pl_.diag_idx]
 
     out.append(to_ell(plan.lvl0, vals))
     for pl_ in plan.levels:
-        # seg is ascending by construction (sorted (row, col) expansion)
-        vals = jax.ops.segment_sum(
-            pl_.w.astype(dtype) * vals[pl_.idx_in],
-            pl_.seg,
-            num_segments=pl_.nnz_out,
-            indices_are_sorted=True,
-        )
+        vpad = jnp.concatenate([vals, jnp.zeros(1, dtype=dtype)])
+        vals = (pl_.gat_w.astype(dtype) * vpad[pl_.gat_idx]).sum(axis=1)
+        if pl_.tail_idx.shape[0]:
+            # long-segment tail (ascending ids)
+            vals = vals + jax.ops.segment_sum(
+                pl_.tail_w.astype(dtype) * vpad[pl_.tail_idx],
+                pl_.tail_seg,
+                num_segments=pl_.nnz_out,
+                indices_are_sorted=True,
+            )
         out.append(to_ell(pl_, vals))
     return out

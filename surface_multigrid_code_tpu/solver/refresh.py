@@ -127,16 +127,12 @@ class RefreshableMGSolver:
         self._groups = []
         self._group_scales = []
         if self.cfg.smoother == SmootherType.MULTICOLOR_GS:
+            from surface_multigrid_code_tpu.solver.galerkin import plan_pattern
+
             for pl_ in self._plans[:-1]:
-                n, w = pl_.ell_shape
                 # real nnz only — ELL padding would add spurious column-0
                 # edges and change the coloring (hence the GS trajectory)
-                rows = np.asarray(pl_.ell_rows)
-                cols = np.asarray(pl_.ell_indices)[rows, np.asarray(pl_.ell_cols)]
-                pat = sp.coo_matrix(
-                    (np.ones(rows.shape[0]), (rows, cols)), shape=(n, n)
-                ).tocsr()
-                color = greedy_coloring(pat)
+                color = greedy_coloring(plan_pattern(pl_))
                 gs = color_groups(color)
                 self._groups.append(tuple(jnp.asarray(g) for g in gs))
                 self._group_scales.append(
