@@ -63,12 +63,16 @@ def main():
     tol_d = jnp.asarray(0.0, dtype=jnp.float32)
     out = solve_loop(data.hier, rhs_d, z0_d, tol_d, n_cycles, cfg)
     jax.block_until_ready(out)
-    reps = 20
-    t0 = time.time()
-    for _ in range(reps):
-        out = solve_loop(data.hier, rhs_d, z0_d, tol_d, n_cycles, cfg)
-    jax.block_until_ready(out)
-    t_cycle = (time.time() - t0) / (reps * n_cycles)
+    # best-of batches: robust to transient dispatch-latency artifacts of
+    # the tunneled backend (see CLAUDE.md) and OS noise
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.time()
+        for _ in range(8):
+            out = solve_loop(data.hier, rhs_d, z0_d, tol_d, n_cycles, cfg)
+        jax.block_until_ready(out)
+        best = min(best, (time.time() - t0) / (8 * n_cycles))
+    t_cycle = best
     r_his = [float(r) for r in np.asarray(out[1])[: int(out[2])]]
 
     # nnz touched per V-cycle: per level, 4 smoother sweeps (SpMV each) +
