@@ -624,8 +624,27 @@ class HaloHierarchy:
         )
         from surface_multigrid_code_tpu.solver.refresh import csr_slot_map
 
+        from surface_multigrid_code_tpu.solver.galerkin import plan_pattern
+
         A0p = self._As_perm[0]
         plan = build_galerkin_plan(A0p, self._Ps_perm)
+        # the plan's symbolic pattern must equal the stored chain's — a
+        # numerically-built chain (scipy PᵀAP) can silently DROP entries
+        # whose products cancel exactly (SSP prolongations carry exact-zero
+        # weights); such hierarchies must come from galerkin_chain()
+        for lv, pl_ in enumerate(plan.levels):
+            A_lv = self._As_perm[lv + 1]
+            pat = plan_pattern(pl_)
+            if pl_.nnz_out != A_lv.nnz or not (
+                np.array_equal(pat.indptr, A_lv.indptr)
+                and np.array_equal(pat.indices, A_lv.indices)
+            ):
+                raise ValueError(
+                    f"level {lv + 1} pattern mismatch (plan {pl_.nnz_out} vs "
+                    f"stored {A_lv.nnz} nnz): build the hierarchy's As with "
+                    "solver.galerkin.galerkin_chain so the stored chain "
+                    "keeps the full symbolic PtAP pattern"
+                )
         # original CSR order -> permuted order
         A0_orig = self._A0_orig
         invp = np.empty(self.n0, dtype=np.int64)

@@ -251,6 +251,39 @@ def plan_pattern(plan: LevelPlan) -> sp.csr_matrix:
     ).tocsr()
 
 
+def galerkin_chain(A0: sp.spmatrix, Ps: list[sp.spmatrix]) -> list[sp.csr_matrix]:
+    """Galerkin-coarsen keeping the full SYMBOLIC Pᵀ A P pattern per level
+    (explicit zeros retained), so every level's stored CSR layout matches
+    build_galerkin_plan's canonical order.
+
+    scipy's numeric triple product can drop entries whose products cancel
+    exactly — e.g. through the exact-zero barycentric weights SSP
+    prolongations carry (reference src/get_prolong.cpp:23-39 seeds corner
+    coords [1,0,0]) — which de-synchronizes a numerically-built chain from
+    the symbolic plan.  Consumers that later refresh values on the fixed
+    pattern (HaloHierarchy.enable_refresh) must build their hierarchy from
+    THIS chain.
+    """
+    A0 = A0.tocsr().copy()
+    A0.sum_duplicates()
+    plan = build_galerkin_plan(A0, Ps)
+    vals = refresh_values(plan, jnp.asarray(A0.data), raw=True)
+    As = [A0]
+    for lv, pl_ in enumerate(plan.levels):
+        pat = plan_pattern(pl_)
+        As.append(
+            sp.csr_matrix(
+                (
+                    np.asarray(vals[lv + 1], dtype=np.float64),
+                    pat.indices.copy(),
+                    pat.indptr.copy(),
+                ),
+                shape=pat.shape,
+            )
+        )
+    return As
+
+
 def refresh_values(plan: GalerkinPlan, A0_vals: jnp.ndarray, dtype=None,
                    raw: bool = False):
     """All-level Galerkin value refresh on device.
