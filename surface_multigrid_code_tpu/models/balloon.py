@@ -58,7 +58,7 @@ class BalloonNewtonSolver:
     """
 
     def __init__(self, shell: ShellEnergy, M: sp.csr_matrix, mg, cfg=None,
-                 dtype=None):
+                 dtype=None, build_solver: bool = True):
         import jax
         import jax.numpy as jnp
         from surface_multigrid_code_tpu.solver.refresh import (
@@ -106,7 +106,13 @@ class BalloonNewtonSolver:
             # f64 on CPU (x64 enabled in tests); f32 on TPU where f64 is
             # slow double-word emulation
             dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-        self.solver = RefreshableMGSolver(mg, pattern, cfg=cfg, dtype=dtype)
+        # build_solver=False: assembly machinery only (the sharded balloon
+        # path routes solves through parallel/halo.py instead)
+        self.solver = (
+            RefreshableMGSolver(mg, pattern, cfg=cfg, dtype=dtype)
+            if build_solver
+            else None
+        )
         self.shell = shell
 
     def hessian_values(self, x_flat, dt):

@@ -1,0 +1,128 @@
+"""Multi-chip balloon simulation: sharded Newton-direction solves.
+
+Reference semantics (implicit_euler_mg_balloon.h:40-120): 10 Newton
+iterations per implicit-Euler step, each solving H dx = -g with
+H = M + dt^2 K(x), followed by a backtracking line search.  The
+reference re-runs the whole multigrid precompute per iteration; the
+single-chip path (models/balloon.py) replaces that with a cached-symbolic
+value refresh.  This module shards that refreshed solve over a device
+mesh: the per-face Hessian assembly reuses BalloonNewtonSolver's
+gather-only machinery, and `HaloHierarchy.solve_values` refreshes every
+Galerkin level and runs the V-cycle iteration inside one shard_map
+program — per-iteration device work is O(rows/D) plus one halo
+all-gather per SpMV.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+
+import jax.numpy as jnp
+
+from surface_multigrid_code_tpu.config import SolveConfig, SmootherType
+from surface_multigrid_code_tpu.models.balloon import BalloonNewtonSolver
+from surface_multigrid_code_tpu.models.shell import ShellEnergy
+from surface_multigrid_code_tpu.parallel.halo import HaloHierarchy
+from surface_multigrid_code_tpu.solver.galerkin import galerkin_chain
+
+
+class ShardedBalloonNewton:
+    """Newton-direction solver whose refreshed V-cycle runs sharded.
+
+    `mg` is the block hierarchy from `mg_precompute_block` (3#V DOFs),
+    `mesh` a 1-D jax.sharding.Mesh with axis name "rows".
+    """
+
+    def __init__(
+        self,
+        shell: ShellEnergy,
+        M: sp.csr_matrix,
+        mg,
+        mesh,
+        dt: float,
+        cfg: SolveConfig | None = None,
+        dtype=jnp.float64,
+        reorder: bool = True,
+    ):
+        cfg = cfg or SolveConfig(smoother=SmootherType.CHEBYSHEV)
+        self.asm = BalloonNewtonSolver(shell, M, mg, cfg=cfg, build_solver=False)
+        # initial-value chain on the full symbolic pattern (rest-state H);
+        # later Newton iterations only swap values through solve_values
+        x0 = np.asarray(mg[0].V, dtype=np.float64).reshape(-1)
+        vals0 = np.asarray(self.asm.hessian_values(x0, dt), dtype=np.float64)
+        pat = self.asm.pattern
+        A0 = sp.csr_matrix(
+            (vals0, pat.indices.copy(), pat.indptr.copy()), pat.shape
+        )
+        Ps = [mg[lv].P_full.tocsr() for lv in range(1, len(mg))]
+        As = galerkin_chain(A0, Ps)
+        self.halo = HaloHierarchy(
+            As, Ps, mesh, cfg=cfg, dtype=dtype, reorder=reorder
+        ).enable_refresh()
+
+    def hessian_values(self, x_flat, dt):
+        return self.asm.hessian_values(x_flat, dt)
+
+    def solve(self, vals, g, tolerance=2e-1, max_iter=20):
+        return self.halo.solve_values(
+            vals, g, tolerance=tolerance, max_iter=max_iter
+        )
+
+
+def implicit_euler_mg_balloon_sharded(
+    shell: ShellEnergy,
+    M: sp.csr_matrix,
+    curPos: np.ndarray,
+    qdot: np.ndarray,
+    fExt: np.ndarray,
+    dt: float,
+    mg,
+    mesh,
+    mg_tolerance: float = 2e-1,
+    n_newton: int = 10,
+    cfg: SolveConfig | None = None,
+    newton_solver: "ShardedBalloonNewton | None" = None,
+    verbose: bool = True,
+):
+    """One implicit Euler step with sharded Newton solves; mutates nothing,
+    returns (curPos, qdot, newton_solver).  Mirrors models/balloon.py's
+    implicit_euler_mg_balloon (reference implicit_euler_mg_balloon.h:40-120).
+    """
+    cfg = cfg or SolveConfig(smoother=SmootherType.CHEBYSHEV)
+    if newton_solver is None:
+        newton_solver = ShardedBalloonNewton(shell, M, mg, mesh, dt, cfg=cfg)
+    qdot0 = qdot.copy()
+    curPos0 = curPos.copy()
+    qdot = qdot.copy()
+    curPos = curPos.copy()
+
+    def total_energy(tmp_qdot):
+        Ek = 0.5 * (tmp_qdot - qdot0) @ (M @ (tmp_qdot - qdot0))
+        newPos = curPos0 + dt * tmp_qdot.reshape(-1, 3)
+        Eext = float(newPos.reshape(-1) @ fExt)
+        Ev = shell.energy(newPos.reshape(-1))
+        return Eext + Ek + Ev
+
+    for it in range(n_newton):
+        G = shell.gradient(curPos.reshape(-1))
+        vals = newton_solver.hessian_values(curPos.reshape(-1), dt)
+        g = -(M @ (qdot - qdot0) + dt * G + dt * fExt)
+        dx, r_his, ok = newton_solver.solve(
+            vals, g, tolerance=mg_tolerance, max_iter=20
+        )
+        if verbose:
+            print(f"  newton {it}: g.dx = {g @ dx:.6e}, cycles {len(r_his)}")
+        # backtracking line search (reference :80-114)
+        alpha, p, c = 1.0, 0.5, 1e-8
+        f0 = total_energy(qdot)
+        s = f0 + c * (g @ dx)
+        while alpha > 1e-8:
+            if total_energy(qdot + alpha * dx) <= s:
+                qdot = qdot + alpha * dx
+                break
+            alpha *= p
+        if verbose:
+            print(f"  alpha: {alpha}")
+        curPos = curPos0 + dt * qdot.reshape(-1, 3)
+    return curPos, qdot, newton_solver

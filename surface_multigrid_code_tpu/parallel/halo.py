@@ -223,9 +223,20 @@ class HaloHierarchy:
             n = A.shape[0]
             if n_pad > n:
                 pad = np.arange(n, n_pad)
-                Ap = (Ap + sp.coo_matrix(
-                    (np.ones(pad.shape[0]), (pad, pad)), shape=(n_pad, n_pad)
-                )).tocsr()
+                # append identity rows STRUCTURALLY — scipy sparse addition
+                # prunes explicitly-stored zero entries, which would shift
+                # every subsequent A_src nnz id (balloon Hessians carry
+                # exact zeros at rest; found via diverging refreshed solves)
+                indptr = Ap.indptr.copy()
+                indptr[n + 1 :] = indptr[n] + np.arange(1, n_pad - n + 1)
+                Ap = sp.csr_matrix(
+                    (
+                        np.concatenate([Ap.data, np.ones(n_pad - n)]),
+                        np.concatenate([Ap.indices, pad]),
+                        indptr,
+                    ),
+                    shape=(n_pad, n_pad),
+                )
             diag = Ap.diagonal()
             # per-device remapped ELL (+ source nnz ids for the refreshable
             # path: ids >= A.nnz are identity-pad entries, -1 is ELL padding)
@@ -236,8 +247,10 @@ class HaloHierarchy:
                 bi, bd, bs = _ell_arrays(
                     blk, R, src_base=int(Ap.indptr[d * R])
                 )
-                bi[bd == 0] = d * R  # padding -> any LOCAL row (weight 0)
-                bs[bd == 0] = -1
+                # structural padding only (bs == -1): a REAL stored entry
+                # whose current value happens to be 0.0 must keep its src
+                # id, or its refreshed values would be dropped forever
+                bi[bs == -1] = d * R  # padding -> any LOCAL row (weight 0)
                 bi = _remap_columns(bi.reshape(-1), D, R, send, d).reshape(bi.shape)
                 idxs.append(bi)
                 dats.append(bd)
@@ -563,6 +576,37 @@ class HaloHierarchy:
                     la["diag"] = jnp.where(
                         dsrc >= 0, v[jnp.clip(dsrc, 0, v.shape[0] - 1)], 1.0
                     ).astype(self.dtype)
+                    if (
+                        self.cfg.smoother == SmootherType.CHEBYSHEV
+                        and lv < len(lvls) - 1
+                    ):
+                        # power iteration on D^-1 A with the FRESH values
+                        # (replicated scalar; matches the single-chip
+                        # _device_lam_max — solver/refresh.py:325)
+                        nl = self._As_perm[lv].shape[0]
+                        rows_l = rstate["rows_lv"][lv]
+                        cols_l = rstate["cols_lv"][lv]
+                        vv = v.astype(self.dtype)
+                        dfull = vv[rstate["diag_slots_lv"][lv]]
+
+                        def pw_body(i, xl, rows_l=rows_l, cols_l=cols_l,
+                                    vv=vv, dfull=dfull, nl=nl):
+                            x, lam = xl
+                            y = jax.ops.segment_sum(
+                                vv * x[cols_l], rows_l,
+                                num_segments=nl, indices_are_sorted=True,
+                            ) / dfull
+                            lam = jnp.linalg.norm(y)
+                            return (y / lam, lam)
+
+                        x0 = jnp.full(
+                            (nl,), 1.0 / np.sqrt(nl), dtype=self.dtype
+                        )
+                        _, lam = jax.lax.fori_loop(
+                            0, 12, pw_body,
+                            (x0, jnp.asarray(1.0, dtype=self.dtype)),
+                        )
+                        la["lam_max"] = 1.1 * lam
                     new_lvls.append(la)
                 # replicated dense coarsest + Cholesky inverse (SPD refresh
                 # systems, as in solver/refresh.py)
@@ -661,11 +705,32 @@ class HaloHierarchy:
         rowsL = np.repeat(
             np.arange(AL.shape[0], dtype=np.int64), np.diff(AL.indptr)
         )
+        # per-level COO pattern + diagonal slots (canonical nnz order) for
+        # the refresh-time power iteration on lam_max(D^-1 A) — Chebyshev
+        # must not smooth with the BUILD values' spectrum after a value
+        # refresh, and a cheap upper BOUND (Gershgorin) is NOT safe: modes
+        # pushed below the [lam/4, lam] window get amplified (observed
+        # divergence 5e2 -> 3e22 on a stiff shell Hessian)
+        rows_lv, cols_lv, diag_slots_lv = [], [], []
+        for A_lv in self._As_perm[:-1]:
+            nl = A_lv.shape[0]
+            rows_lv.append(
+                jnp.asarray(
+                    np.repeat(np.arange(nl, dtype=np.int64), np.diff(A_lv.indptr))
+                )
+            )
+            cols_lv.append(jnp.asarray(A_lv.indices.astype(np.int64)))
+            diag_slots_lv.append(
+                jnp.asarray(csr_slot_map(A_lv, np.arange(nl), np.arange(nl)))
+            )
         shard = NamedSharding(self.mesh, P("rows", None))
         vec = NamedSharding(self.mesh, P("rows"))
         self._refresh_state = {
             "plan": plan,
             "perm_nnz": jnp.asarray(perm_nnz),
+            "rows_lv": tuple(rows_lv),
+            "cols_lv": tuple(cols_lv),
+            "diag_slots_lv": tuple(diag_slots_lv),
             "rowsL": jnp.asarray(rowsL),
             "colsL": jnp.asarray(AL.indices.astype(np.int64)),
             "A_src": tuple(
