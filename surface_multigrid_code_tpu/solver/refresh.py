@@ -168,7 +168,14 @@ class RefreshableMGSolver:
         )
 
     # ------------------------------------------------------------------
-    def _refresh_impl(self, state, A0_vals: jnp.ndarray) -> DeviceHierarchy:
+    def _refresh_impl(self, state, A0_vals: jnp.ndarray,
+                      lam_in=None) -> DeviceHierarchy:
+        """lam_in: optional per-level Chebyshev lam_max overrides (tuple,
+        finest first, None entries computed on device).  Hot loops whose
+        operator drifts slowly (balloon Newton iterations) hoist the power
+        iteration out of the per-refresh cost — measured 0.24 s of a 0.52 s
+        refresh on bunny_15K — and pass slightly inflated values from a
+        prologue refresh instead."""
         plan = state["plan"]
         plans = [plan.lvl0, *plan.levels]
         levels_vals = refresh_values(plan, A0_vals.astype(self.dtype))
@@ -181,7 +188,10 @@ class RefreshableMGSolver:
             ell = ELLMatrix(indices=pl_.ell_indices, data=data, n_cols=n)
             lam_max = None
             if self.cfg.smoother == SmootherType.CHEBYSHEV and lv < L - 1:
-                lam_max = _device_lam_max(ell, diag)
+                if lam_in is not None and lam_in[lv] is not None:
+                    lam_max = lam_in[lv]
+                else:
+                    lam_max = _device_lam_max(ell, diag)
             levels.append(
                 DeviceLevel(
                     A=ell,
