@@ -80,12 +80,29 @@ def main():
         xv[jnp.asarray(shell.F)].reshape(-1, 9)
     )
 
+    from surface_multigrid_code_tpu.models.balloon import BsrBalloonStepper
+    from surface_multigrid_code_tpu.solver.hierarchy import mg_precompute
+
+    mg_v = mg_precompute(V, F, verbose=False)
+    bsr = BsrBalloonStepper(shell, M, mg_v, dt, mg_tolerance=2e-1)
     timings = {
         "full_step_s": _time(
             lambda: stepper._step(
                 stepper._state, xv, qdot0, fExt_d
             ),
             batches=3, per=1,
+        ),
+        "bsr_full_step_s": _time(
+            lambda: bsr._step(bsr._state, xv, qdot0, fExt_d),
+            batches=3, per=1,
+        ),
+        "bsr_refresh_plus_solve_s": _time(
+            lambda: bsr.solver._solve(
+                bsr.solver._state,
+                bsr._block_vals(bsr._state, x0),
+                g.reshape(-1, 3), jnp.zeros((V.shape[0], 3), dtype=dtype),
+                jnp.asarray(2e-1, dtype=dtype), max_iter=20,
+            )
         ),
         "refresh_plus_solve_s": _time(
             lambda: ns.solver._solve(

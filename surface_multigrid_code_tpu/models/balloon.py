@@ -322,6 +322,222 @@ class DeviceBalloonStepper:
         )
 
 
+class BsrBalloonStepper:
+    """Implicit-Euler balloon step with the BSR (3x3-block) multigrid.
+
+    Same semantics as DeviceBalloonStepper (reference
+    implicit_euler_mg_balloon.h:40-120: 10 Newton iterations of
+    H dx = -g with H = M + dt^2 K, backtracking line search), but the
+    Hessian lives as 3x3 blocks on the VERTEX graph and the V-cycle runs
+    on [nv, 3] states (solver/bsr.py).  On TPU the scalar-expanded block
+    SpMV falls off Mosaic's fast gather path (~1000x, see CLAUDE.md);
+    the BSR form gathers rows of [nv, 3], which stays on it.
+
+    Takes the SCALAR hierarchy from mg_precompute — the reference's
+    3-expanded block prolongation (src/get_prolong.cpp:59-115) is the
+    same scalar weight on each DOF of a vertex, i.e. scalar-weighted
+    combination of 3-vectors.
+    """
+
+    def __init__(self, shell: ShellEnergy, M: sp.csr_matrix, mg, dt: float,
+                 mg_tolerance: float = 2e-1, n_newton: int = 10,
+                 max_cycles: int = 20, cfg=None, dtype=None):
+        import jax
+        import jax.numpy as jnp
+        from surface_multigrid_code_tpu.solver.bsr import (
+            BsrRefreshableSolver,
+            bsr_solve_loop,
+        )
+        from surface_multigrid_code_tpu.solver.galerkin import _ellize_segments
+        from surface_multigrid_code_tpu.solver.refresh import csr_slot_map
+
+        cfg = cfg or SolveConfig(smoother=SmootherType.CHEBYSHEV)
+        nv = shell.n
+        F = shell.F
+        nf = F.shape[0]
+
+        # vertex-pair pattern in the SAME (face, a, b) flatten order as the
+        # per-face Hessian blocks below
+        rows = [np.repeat(F, 3, axis=1).reshape(-1)]
+        cols = [np.tile(F, (1, 3)).reshape(-1)]
+        if shell.bending:
+            v6 = np.concatenate([F, shell.opp], axis=1)  # [nf, 6]
+            rows.append(np.repeat(v6, 6, axis=1).reshape(-1))
+            cols.append(np.tile(v6, (1, 6)).reshape(-1))
+        rows = np.concatenate(rows)
+        cols = np.concatenate(cols)
+        pattern = (
+            sp.coo_matrix(
+                (np.ones(rows.shape[0]), (rows, cols)), shape=(nv, nv)
+            )
+            + sp.identity(nv)
+        ).tocsr()
+        pattern.sum_duplicates()
+        slots = csr_slot_map(pattern, rows, cols)
+        order = np.argsort(slots, kind="stable")
+        gi, gw, ti, tw, ts = _ellize_segments(
+            slots[order], order, np.ones(order.shape[0]),
+            order.shape[0], pattern.nnz, W_cap=16,
+        )
+        diag_slots = csr_slot_map(pattern, np.arange(nv), np.arange(nv))
+        Mv = np.asarray(M.diagonal())[0::3]
+
+        if dtype is None:
+            dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        self.dtype = dtype
+        solver = BsrRefreshableSolver(mg, pattern, cfg=cfg, dtype=dtype)
+        self.solver = solver
+        self.pattern = pattern
+        cfg = solver.cfg
+        dt = float(dt)
+        nnz = pattern.nnz
+
+        state = {
+            "solver": solver._state,
+            "asm_gather": jnp.asarray(gi),
+            "asm_tail_idx": jnp.asarray(ti),
+            "asm_tail_seg": jnp.asarray(ts),
+            "diag_slots": jnp.asarray(diag_slots),
+            "Mv": jnp.asarray(Mv, dtype=dtype),
+            "Mdiag": jnp.asarray(np.asarray(M.diagonal()), dtype=dtype),
+            "abars": shell.abars.astype(dtype),
+            "F": jnp.asarray(F),
+        }
+        if shell.bending:
+            state["opp"] = jnp.asarray(shell.opp)
+            state["mask"] = jnp.asarray(shell.mask)
+            state["bbars"] = shell.bbars.astype(dtype)
+
+        def energy(st, x_flat):
+            from surface_multigrid_code_tpu.models.shell import _energy_sum
+
+            bend = None
+            if shell.bending:
+                bend = (st["opp"], st["mask"], st["bbars"])
+            return _energy_sum(
+                x_flat, st["F"], st["abars"], shell.thickness, shell.alpha,
+                shell.beta, shell.material, bend=bend,
+            )
+
+        grad_e = jax.grad(energy, argnums=1)
+
+        def block_vals(st, x_flat):
+            """dt^2 K + M as [nnz_v, 3, 3] blocks (gather-only assembly)."""
+            xv = x_flat.reshape(-1, 3)
+            x9 = xv[st["F"]].reshape(-1, 9)
+            H9 = shell._face_hess(x9, st["abars"])  # [nf, 9, 9]
+            ent = [
+                H9.reshape(nf, 3, 3, 3, 3)
+                .transpose(0, 1, 3, 2, 4)
+                .reshape(nf * 9, 3, 3)
+            ]
+            if shell.bending:
+                x18 = jnp.concatenate(
+                    [x9, xv[st["opp"]].reshape(-1, 9)], axis=1
+                )
+                H18 = shell._face_hess_bend(
+                    x18, st["abars"], st["bbars"], st["mask"]
+                )
+                ent.append(
+                    H18.reshape(nf, 6, 3, 6, 3)
+                    .transpose(0, 1, 3, 2, 4)
+                    .reshape(nf * 36, 3, 3)
+                )
+            e = dt * dt * jnp.concatenate(ent)
+            epad = jnp.concatenate(
+                [e, jnp.zeros((1, 3, 3), dtype=e.dtype)]
+            )
+            vals = epad[st["asm_gather"]].sum(axis=1)
+            if st["asm_tail_idx"].shape[0]:
+                vals = vals + jax.ops.segment_sum(
+                    epad[st["asm_tail_idx"]], st["asm_tail_seg"],
+                    num_segments=nnz, indices_are_sorted=True,
+                )
+            eye3 = jnp.eye(3, dtype=vals.dtype)
+            return vals.at[st["diag_slots"]].add(
+                st["Mv"][:, None, None] * eye3
+            )
+
+        self._block_vals = block_vals
+
+        def step(st, curPos0, qdot0, fExt):
+            curPos0 = curPos0.astype(dtype)
+            qdot0 = qdot0.astype(dtype)
+            fExt = fExt.astype(dtype)
+            Md = st["Mdiag"]
+
+            # hoist the Chebyshev lam_max power iterations out of the
+            # Newton loop (see DeviceBalloonStepper)
+            lam0 = None
+            if cfg.smoother == SmootherType.CHEBYSHEV:
+                hier0 = solver._refresh_impl(
+                    st["solver"], block_vals(st, curPos0.reshape(-1))
+                )
+                lam0 = tuple(
+                    None if lvl.lam_max is None else 1.2 * lvl.lam_max
+                    for lvl in hier0.levels
+                )
+
+            def total_energy(qdot):
+                dq = qdot - qdot0
+                Ek = 0.5 * (dq * Md * dq).sum()
+                newPos = curPos0.reshape(-1) + dt * qdot
+                return Ek + (newPos * fExt).sum() + energy(st, newPos)
+
+            def newton(i, carry):
+                qdot, _ = carry
+                x = curPos0.reshape(-1) + dt * qdot
+                G = grad_e(st, x)
+                vals = block_vals(st, x)
+                g = -(Md * (qdot - qdot0) + dt * G + dt * fExt)
+                hier = solver._refresh_impl(st["solver"], vals, lam_in=lam0)
+                dx2, _r, _k = bsr_solve_loop(
+                    hier, g.reshape(nv, 3), jnp.zeros((nv, 3), dtype=dtype),
+                    jnp.asarray(mg_tolerance, dtype=dtype), max_cycles, cfg,
+                )
+                dx = dx2.reshape(-1)
+                f0 = total_energy(qdot)
+                s = f0 + 1e-8 * (g * dx).sum()
+
+                def ls_cond(c):
+                    alpha, found = c
+                    return jnp.logical_and(~found, alpha > 1e-8)
+
+                def ls_body(c):
+                    alpha, _ = c
+                    ok = total_energy(qdot + alpha * dx) <= s
+                    return (jnp.where(ok, alpha, alpha * 0.5), ok)
+
+                alpha, found = jax.lax.while_loop(
+                    ls_cond, ls_body,
+                    (jnp.asarray(1.0, dtype=dtype), jnp.asarray(False)),
+                )
+                qdot = qdot + jnp.where(found, alpha, 0.0) * dx
+                return (qdot, alpha)
+
+            qdot, _ = jax.lax.fori_loop(
+                0, n_newton, newton, (qdot0, jnp.asarray(1.0, dtype=dtype))
+            )
+            curPos = curPos0 + dt * qdot.reshape(-1, 3)
+            return curPos, qdot
+
+        self._state = state
+        self._step = jax.jit(step)
+
+    def step(self, curPos, qdot, fExt):
+        """One implicit Euler step; returns (curPos_next, qdot_next)."""
+        import jax.numpy as jnp
+
+        p, q = self._step(
+            self._state, jnp.asarray(curPos), jnp.asarray(qdot),
+            jnp.asarray(fExt),
+        )
+        return (
+            np.asarray(p, dtype=np.float64),
+            np.asarray(q, dtype=np.float64),
+        )
+
+
 def implicit_euler_balloon_direct(
     shell: ShellEnergy,
     M: sp.csr_matrix,
