@@ -1,6 +1,6 @@
 """surface_multigrid_code_tpu — TPU-native surface multigrid framework.
 
-A from-scratch JAX/XLA/Pallas implementation of the capabilities of
+A from-scratch JAX/XLA implementation of the capabilities of
 "Surface Multigrid via Intrinsic Prolongation" (Liu, Zhang, Ben-Chen,
 Jacobson; SIGGRAPH 2021), re-designed TPU-first:
 
@@ -8,9 +8,11 @@ Jacobson; SIGGRAPH 2021), re-designed TPU-first:
   self-parameterization, emitting flat arrays (CSR/ELL prolongations,
   flattened collapse logs).
 - Device runtime (online): jitted Galerkin multigrid V-cycles with
-  multi-color Gauss-Seidel / weighted-Jacobi smoothing, ELL SpMV
-  (Pallas kernels on the hot path), dense coarse solves, and
-  shard_map-based multi-chip row partitioning.
+  multi-color Gauss-Seidel / weighted-Jacobi smoothing, XLA-lowered
+  ELL/BSR SpMV (the measured-fastest gather path on this hardware —
+  see DESIGN.md "Why no Pallas kernel" for the Mosaic gather
+  measurements), dense coarse solves, and shard_map-based multi-chip
+  row partitioning.
 
 Reference behavior is documented against HTDerekLiu/surface_multigrid_code
 (file:line cites in docstrings); the implementation is new.

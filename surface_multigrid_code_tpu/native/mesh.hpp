@@ -120,8 +120,12 @@ inline bool all_edges_closed(const FlapMesh& M) {
 }
 
 // Vertex-manifold check (reference gate: src/SSP_decimate.cpp:20-23 uses
-// igl::is_vertex_manifold): faces incident to every vertex form one fan.
-// Union-find over face-corners joined across shared vertex-incident edges.
+// igl::is_vertex_manifold ON THE ORIGINAL, pre-closure mesh): faces incident
+// to every vertex form one fan.  Union-find over face-corners joined across
+// shared vertex-incident edges.  The virtual infinity vertex is skipped: with
+// >=2 boundary loops its fan is legitimately disconnected (one sub-fan per
+// loop), and the reference never checks it — rejecting it here would wrongly
+// reject manifold inputs like an annulus or open cylinder.
 inline bool is_vertex_manifold(const FlapMesh& M) {
   const i64 m = M.nF();
   // collect (vertex -> incident corners) via sorting
@@ -138,6 +142,10 @@ inline bool is_vertex_manifold(const FlapMesh& M) {
     size_t j = i;
     const i64 v = vc[i].first;
     while (j < vc.size() && vc[j].first == v) ++j;
+    if (v == M.virtual_vertex) {
+      i = j;
+      continue;
+    }
     const size_t cnt = j - i;
     // union-find local to this vertex group
     std::unordered_map<i64, i64> idx;  // face -> local id

@@ -99,8 +99,14 @@ def _remap_columns(cols: np.ndarray, D: int, R: int, send_lists, dev: int):
         m = (~local) & (owner == od)
         if not m.any():
             continue
-        slot = np.searchsorted(send_lists[od], cols[m] - od * R)
-        assert np.all(send_lists[od][slot] == cols[m] - od * R)
+        want = cols[m] - od * R
+        slot = np.minimum(np.searchsorted(send_lists[od], want), S - 1)
+        if not np.all(send_lists[od][slot] == want):
+            raise ValueError(
+                f"column remap: rows {np.unique(want[send_lists[od][slot] != want])[:8]}"
+                f" referenced by device {dev} are missing from device {od}'s"
+                " halo send list"
+            )
         out[m] = R + od * S + slot
     return out
 

@@ -186,10 +186,16 @@ def _query_device(dlog: DeviceCollapseLog, forward: bool, BC, BF, FIdx):
         tri_best = jnp.take_along_axis(tri, best[:, None, None], axis=1)[:, 0, :]
         bf_new = jnp.take_along_axis(subset, tri_best, axis=1)
         fidx_new = jnp.take_along_axis(fid, best[:, None], axis=1)[:, 0]
-        # masked commit
-        bc = jnp.where(act[:, None], Bb, bc)
-        bf = jnp.where(act[:, None], bf_new, bf)
-        fidx = jnp.where(act, fidx_new, fidx)
+        # masked commit; mirrors the host walk (ssp.cpp walk_step, reference
+        # query_fine_to_coarse.cpp:90-123) which starts bestmind=1.0 and only
+        # relocates when some face achieves mind < 1.0 — on a degenerate
+        # patch with no such face the point is left unchanged (the walk
+        # still advances to the next collapse).
+        mind_best = jnp.take_along_axis(mind, best[:, None], axis=1)[:, 0]
+        commit = act & (mind_best < 1.0)
+        bc = jnp.where(commit[:, None], Bb, bc)
+        bf = jnp.where(commit[:, None], bf_new, bf)
+        fidx = jnp.where(commit, fidx_new, fidx)
         d_next = jnp.where(act, d, d_prev)
         return (d_next, bc, bf, fidx, act.any())
 

@@ -111,9 +111,18 @@ def boundary_loops(F: np.ndarray) -> list[np.ndarray]:
     bf = boundary_facets(F)
     nxt: dict[int, int] = {}
     for s, d in bf:
-        nxt[int(s)] = int(d)
+        s, d = int(s), int(d)
+        if s in nxt:
+            # a boundary vertex with two outgoing boundary edges means two
+            # loops pinch at it — the walk below would be ill-defined
+            raise ValueError(
+                f"non-manifold boundary: vertex {s} lies on multiple"
+                " boundary loops"
+            )
+        nxt[s] = d
     seen: set[int] = set()
     loops: list[np.ndarray] = []
+    n_edges = len(bf)
     for start in list(nxt):
         if start in seen:
             continue
@@ -123,6 +132,8 @@ def boundary_loops(F: np.ndarray) -> list[np.ndarray]:
         while v != start:
             loop.append(v)
             seen.add(v)
+            if len(loop) > n_edges:
+                raise ValueError("boundary walk did not close: bad input mesh")
             v = nxt[v]
         loops.append(np.asarray(loop, dtype=np.int64))
     loops.sort(key=len, reverse=True)

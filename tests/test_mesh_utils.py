@@ -146,3 +146,28 @@ def test_read_bundled_mesh():
     assert V.shape == (9353, 3)
     assert F.shape == (18555, 3)
     assert is_edge_manifold(F)
+
+
+def test_boundary_loops_pinched_raises():
+    # two triangles sharing only vertex 0: the boundary pinches there, so
+    # vertex 0 has two outgoing boundary edges -> must raise, not hang
+    from surface_multigrid_code_tpu.utils.mesh import boundary_loops
+
+    F = np.array([[0, 1, 2], [0, 3, 4]])
+    with pytest.raises(ValueError, match="non-manifold boundary"):
+        boundary_loops(F)
+
+
+def test_boundary_loops_two_loops():
+    # open cylinder: two boundary loops, both returned, longest first
+    from surface_multigrid_code_tpu.utils.mesh import boundary_loops
+
+    n = 8
+    faces = []
+    for i in range(n):
+        a, b = i, (i + 1) % n
+        faces += [[a, b, b + n], [a, b + n, a + n]]
+    loops = boundary_loops(np.array(faces))
+    assert len(loops) == 2
+    assert sorted(len(l) for l in loops) == [n, n]
+    assert {int(v) for v in np.concatenate(loops)} == set(range(2 * n))

@@ -232,3 +232,46 @@ def test_mg_precompute_reuses_seeded_level0():
     mg = mg_precompute(V, F, min_coarsest_nv=100, mg=seeded, verbose=False)
     assert mg[0] is seeded[0]
     np.testing.assert_array_equal(mg[0].V, V2)
+
+
+def cylinder_mesh(n=24, rows=12):
+    """Open cylinder: two boundary loops (regression for the vertex-manifold
+    gate, which must run on the PRE-closure mesh like the reference's
+    src/SSP_decimate.cpp:20 — after infinity closure the single virtual
+    vertex legitimately has one disconnected fan per loop)."""
+    th = 2 * np.pi * np.arange(n) / n
+    ring = np.stack([np.cos(th), np.sin(th)], 1)
+    V = np.concatenate(
+        [np.concatenate([ring, np.full((n, 1), z / (rows - 1.0))], 1)
+         for z in range(rows)]
+    )
+    faces = []
+    for r in range(rows - 1):
+        for i in range(n):
+            a = r * n + i
+            b = r * n + (i + 1) % n
+            faces += [[a, b, b + n], [a, b + n, a + n]]
+    return V, np.array(faces)
+
+
+@pytest.mark.parametrize("dec_type", [0, 1, 2])
+def test_decimate_two_boundary_loops(dec_type):
+    V, F = cylinder_mesh()
+    ok, Vc, Fc, IMF, IM, log = SSP_decimate(V, F, 200, dec_type)
+    assert ok, "manifold open cylinder must be accepted (ADVICE r1 medium)"
+    assert Fc.shape[0] <= 200
+    # genus-0 surface with 2 boundary loops: chi = 2 - 2g - b = 0
+    assert Vc.shape[0] - len(edges_of(Fc)) + Fc.shape[0] == 0
+
+
+def test_decimate_pinched_vertex_rejected():
+    # two tetrahedra sharing exactly one vertex: edge-manifold everywhere
+    # but vertex 0's fan is disconnected -> reference gate rejects
+    tetV = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]], float)
+    tetF = np.array([[0, 2, 1], [0, 1, 3], [0, 3, 2], [1, 2, 3]])
+    # second tet reuses vertex 0 and adds vertices 4,5,6
+    m = np.array([0, 4, 5, 6])
+    V = np.concatenate([tetV, tetV[1:] + np.array([2.0, 0, 0])])
+    F = np.concatenate([tetF, m[tetF]])
+    ok, *_ = SSP_decimate(V, F, 6, 1)
+    assert not ok
