@@ -24,6 +24,16 @@ from surface_multigrid_code_tpu.utils.paths import mesh_path
 
 
 def main():
+    # Precision policy (DESIGN.md): tol 1e-10 is below the f32 residual
+    # floor.  On CPU the conftest-style x64 default gives a plain f64
+    # hierarchy; on TPU we enable x64 (double-word emulated f64) but keep
+    # the V-cycle hierarchy in f32 and let the solve auto-engage
+    # mixed-precision iterative refinement (solver/vcycle.py:solve_loop_ir).
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    on_tpu = jax.devices()[0].platform != "cpu"
+
     V, F = read_obj(mesh_path("bunny"))
     V_known, _ = read_obj(mesh_path("hilbert_cube_known"))
     # nearest-vertex constraints (reference :40-55)
@@ -41,7 +51,11 @@ def main():
     rng = np.random.default_rng(0)
     z0 = rng.uniform(-1, 1, V.shape[0])
 
-    data = min_quad_with_fixed_mg_precompute(A, b, mg)
+    import jax.numpy as jnp
+
+    data = min_quad_with_fixed_mg_precompute(
+        A, b, mg, dtype=jnp.float32 if on_tpu else jnp.float64
+    )
     z, r_his, converged = min_quad_with_fixed_mg_solve(
         data, B, known_val=bval, z0=z0, tolerance=1e-10
     )

@@ -655,22 +655,60 @@ def run_balloon(
     mg_tolerance: float = 2e-1,
     pressure: float = 1e6,
     mg=None,
+    solver: str = "bsr",
+    n_newton: int = 10,
     verbose: bool = True,
 ):
-    """Reference main.cpp:154-201 driver: block hierarchy on the rest mesh,
-    inflation force recomputed per outer step.  Yields curPos per step."""
-    from surface_multigrid_code_tpu.solver.hierarchy import mg_precompute_block
+    """Reference main.cpp:154-201 driver: multigrid hierarchy on the rest
+    mesh, inflation force recomputed per outer step.  Yields curPos per step.
+
+    solver="bsr" (default): fully-on-device `BsrBalloonStepper` — the
+    Hessian lives as 3x3 blocks on the VERTEX graph (measured 1175x faster
+    per SpMV than the scalar-expanded 3#V-row form on TPU, see DESIGN.md);
+    `mg` must then be a SCALAR hierarchy (`mg_precompute`).  solver="scalar":
+    the host-orchestrated `implicit_euler_mg_balloon` on the 3-expanded
+    block hierarchy (`mg_precompute_block`), mirroring the reference's data
+    layout (sim_utils/implicit_euler_mg_balloon.h:18-124) — kept as the
+    cross-check path."""
+    from surface_multigrid_code_tpu.solver.hierarchy import (
+        mg_precompute,
+        mg_precompute_block,
+    )
 
     V = np.asarray(V, dtype=np.float64)
     F = np.asarray(F, dtype=np.int64)
     alpha, beta = lame_parameters(young, poisson)
     shell = ShellEnergy(V, F, thickness, alpha, beta, material)
-    if mg is None:
-        mg = mg_precompute_block(V, F, verbose=verbose)
     M = 1000.0 * lumped_mass_matrix(V, F)
 
     curPos = V.copy()
     qdot = np.zeros(3 * V.shape[0])
+
+    if solver == "bsr":
+        if mg is None:
+            mg = mg_precompute(V, F, verbose=verbose)
+        stepper = BsrBalloonStepper(
+            shell, M, mg, dt, mg_tolerance=mg_tolerance, n_newton=n_newton
+        )
+        for step in range(n_steps):
+            N = vertex_normals(curPos, F)
+            Mvd = np.asarray(
+                massmatrix(curPos, F, kind="voronoi").diagonal()
+            )
+            fExt = (-(N * Mvd[:, None]) * pressure).reshape(-1)
+            curPos, qdot = stepper.step(curPos, qdot, fExt)
+            if verbose:
+                print(
+                    f"step {step}: max |disp| = "
+                    f"{np.abs(curPos - V).max():.4f}"
+                )
+            yield curPos
+        return
+
+    if solver != "scalar":
+        raise ValueError(f"unknown solver {solver!r} (want 'bsr'|'scalar')")
+    if mg is None:
+        mg = mg_precompute_block(V, F, verbose=verbose)
     newton_solver = None
     for step in range(n_steps):
         N = vertex_normals(curPos, F)
@@ -678,8 +716,8 @@ def run_balloon(
         fExt = (-(N * Mvd[:, None]) * pressure).reshape(-1)
         curPos, qdot, newton_solver = implicit_euler_mg_balloon(
             shell, M, curPos, qdot, fExt, dt, mg,
-            mg_tolerance=mg_tolerance, newton_solver=newton_solver,
-            verbose=verbose,
+            mg_tolerance=mg_tolerance, n_newton=n_newton,
+            newton_solver=newton_solver, verbose=verbose,
         )
         if verbose:
             print(f"step {step}: max |disp| = {np.abs(curPos - V).max():.4f}")

@@ -207,12 +207,33 @@ def _query_device(dlog: DeviceCollapseLog, forward: bool, BC, BF, FIdx):
 def _query_chunked(dlog, forward, BC, BF, FIdx, chunk):
     """lax.map over fixed-size chunks: each chunk's while_loop retires as
     soon as ITS longest walker finishes, so total work tracks the per-chunk
-    maximum walk length instead of the global maximum."""
+    maximum walk length instead of the global maximum.
+
+    Per-chunk compaction: walkers are first sorted by a walk-start proxy
+    (the first/last collapse record touching the seed face), which groups
+    zero- and short-walk queries into chunks that retire immediately —
+    without the sort one long walker per chunk pins EVERY chunk to the
+    global maximum.  Static shapes throughout (one dispatch); the sort is
+    O(n log n) on device and is undone after the map."""
     nq = BC.shape[0]
     pad = (-nq) % chunk
     BCp = jnp.pad(BC, ((0, pad), (0, 0)))
     BFp = jnp.pad(BF, ((0, pad), (0, 0)))
     FIp = jnp.pad(FIdx, (0, pad))
+    row = dlog.dim[FIp]  # [n, maxD] collapse records touching the seed face
+    if forward:
+        # forward walks visit records in increasing id from the seed's
+        # first touch; never-touched faces (all -1 -> BIG) walk 0 steps
+        start = jnp.where(row >= 0, row, BIG).min(axis=1)
+        order = jnp.argsort(-start)  # BIG (no work) first, early-touch last
+    else:
+        # backward walks descend from the largest record below n_collapse;
+        # untouched faces (max -1) walk 0 steps
+        start = row.max(axis=1)
+        order = jnp.argsort(start)
+    # padded tail sorts wherever its seed face (id 0) lands — harmless
+    inv = jnp.argsort(order)
+    BCp, BFp, FIp = BCp[order], BFp[order], FIp[order]
     C = BCp.shape[0] // chunk
     out = jax.lax.map(
         lambda t: _query_device(dlog, forward, *t),
@@ -223,9 +244,9 @@ def _query_chunked(dlog, forward, BC, BF, FIdx, chunk):
         ),
     )
     return (
-        out[0].reshape(-1, 3)[:nq],
-        out[1].reshape(-1, 3)[:nq],
-        out[2].reshape(-1)[:nq],
+        out[0].reshape(-1, 3)[inv][:nq],
+        out[1].reshape(-1, 3)[inv][:nq],
+        out[2].reshape(-1)[inv][:nq],
     )
 
 

@@ -38,6 +38,7 @@ from surface_multigrid_code_tpu.solver.vcycle import (
     DeviceHierarchy,
     build_device_hierarchy,
     solve_loop,
+    solve_loop_ir,
 )
 
 
@@ -55,6 +56,9 @@ class MQWFData:
     cfg: SolveConfig
     dtype: object
     colorings: list[np.ndarray] | None = None
+    # finest operator in f64 for mixed-precision iterative refinement
+    # (built when the hierarchy dtype is f32 and x64 is available)
+    A64: object | None = None
 
 
 def _default_dtype():
@@ -102,13 +106,17 @@ def min_quad_with_fixed_mg_precompute(
         mg[1].P = mg[1].P_full.tocsr()[unknown]
         for lv in range(1, len(mg)):
             P = mg[lv].P.tocsc()
-            keep = []
-            for c in range(P.shape[1]):
-                col = P.data[P.indptr[c] : P.indptr[c + 1]]
-                if (col > cfg.prune_threshold).any():
-                    keep.append(c)
-            if len(keep) < P.shape[1]:
-                keep = np.asarray(keep, dtype=np.int64)
+            # vectorized per-column "any entry above threshold" (the same
+            # idiom as refresh.py; the previous per-column Python loop was
+            # pathological at 1M-vertex scale)
+            above = sp.csc_matrix(
+                (P.data > cfg.prune_threshold, P.indices, P.indptr),
+                shape=P.shape,
+            )
+            keep = np.flatnonzero(
+                np.asarray(above.sum(axis=0)).ravel() > 0
+            ).astype(np.int64)
+            if keep.shape[0] < P.shape[1]:
                 mg[lv].P = P[:, keep].tocsr()
                 if lv < len(mg) - 1:
                     mg[lv + 1].P = mg[lv + 1].P_full.tocsr()[keep]
@@ -146,6 +154,19 @@ def min_quad_with_fixed_mg_precompute(
         dtype=dtype,
         colorings=colorings,
     )
+
+    # Mixed-precision support (DESIGN.md "Precision policy"): keep the
+    # finest operator in f64 alongside the f32 hierarchy so tight-tolerance
+    # solves can run iterative refinement.  Costs one extra finest-level
+    # ELL copy; skipped when the hierarchy is already f64 or x64 is off.
+    import jax
+
+    from surface_multigrid_code_tpu.ops.sparse import ell_from_csr
+
+    A64 = None
+    if dtype != jnp.float64 and jax.config.jax_enable_x64:
+        A64 = ell_from_csr(mg[0].A, dtype=jnp.float64)
+
     return MQWFData(
         n=n,
         known=known,
@@ -156,6 +177,7 @@ def min_quad_with_fixed_mg_precompute(
         cfg=cfg,
         dtype=dtype,
         colorings=colorings,
+        A64=A64,
     )
 
 
@@ -166,12 +188,20 @@ def min_quad_with_fixed_mg_solve(
     z0: np.ndarray | None = None,
     tolerance: float = 1e-3,
     max_iter: int = 20,
+    refine: bool | None = None,
 ) -> tuple[np.ndarray, list[float], bool]:
     """Solve; returns (z, r_his, converged).
 
     Matches reference loop semantics: residual recorded before each cycle;
     converged iff the last recorded residual <= tolerance
     (src/min_quad_with_fixed_mg.cpp:330-360).
+
+    refine: mixed-precision iterative refinement (f32 V-cycles inside an
+    f64 defect-correction loop, solver/vcycle.py:solve_loop_ir).  None =
+    auto: engage when the hierarchy is f32, an f64 finest operator was
+    built at precompute, and the requested tolerance is below the f32
+    residual floor (1e-6 x initial residual scale is unreachable in f32;
+    the reference's ex04 asks for 1e-10, 04_mg_solver_nobd/main.cpp:105).
     """
     RHS = np.asarray(RHS, dtype=np.float64)
     vector_input = RHS.ndim == 1
@@ -193,15 +223,35 @@ def min_quad_with_fixed_mg_solve(
 
     from surface_multigrid_code_tpu.utils.profiler import profile_region
 
-    with profile_region("MG: total VCycle", trace=True):
-        z_dev, r_his_dev, k = solve_loop(
-            data.hier,
-            jnp.asarray(rhs_u, dtype=data.dtype),
-            jnp.asarray(z_u, dtype=data.dtype),
-            jnp.asarray(float(tolerance), dtype=data.dtype),
-            int(max_iter),
-            data.cfg,
+    if refine is None:
+        init_scale = float(np.linalg.norm(rhs_u)) or 1.0
+        refine = data.A64 is not None and tolerance < 1e-6 * init_scale
+    if refine and data.A64 is None:
+        raise ValueError(
+            "refine=True but no f64 finest operator was built at precompute"
+            " (hierarchy is f64 already, or x64 is disabled)"
         )
+
+    with profile_region("MG: total VCycle", trace=True):
+        if refine:
+            z_dev, r_his_dev, k = solve_loop_ir(
+                data.hier,
+                data.A64,
+                jnp.asarray(rhs_u, dtype=jnp.float64),
+                jnp.asarray(z_u, dtype=jnp.float64),
+                jnp.asarray(float(tolerance), dtype=jnp.float64),
+                int(max_iter),
+                data.cfg,
+            )
+        else:
+            z_dev, r_his_dev, k = solve_loop(
+                data.hier,
+                jnp.asarray(rhs_u, dtype=data.dtype),
+                jnp.asarray(z_u, dtype=data.dtype),
+                jnp.asarray(float(tolerance), dtype=data.dtype),
+                int(max_iter),
+                data.cfg,
+            )
         z_dev.block_until_ready()
     z_u = np.asarray(z_dev, dtype=np.float64)
     k = int(k)

@@ -244,3 +244,56 @@ def solve_loop(
     r_his0 = jnp.full((max_iter,), -1.0, dtype=rhs.dtype)
     k, z, r_his, _ = jax.lax.while_loop(cond, body, (0, z0, r_his0, jnp.asarray(False)))
     return z, r_his, k
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter", "cfg"))
+def solve_loop_ir(
+    hier: DeviceHierarchy,
+    A64: ELLMatrix,
+    rhs: jnp.ndarray,
+    z0: jnp.ndarray,
+    tol: jnp.ndarray,
+    max_iter: int,
+    cfg: SolveConfig,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Mixed-precision iterative refinement (the TPU dtype policy for
+    tolerances below the f32 residual floor, DESIGN.md "Precision policy").
+
+    The V-cycle and its whole operator hierarchy stay f32 — the fast path
+    on TPU — while the outer defect correction runs in f64 (double-word
+    emulation on TPU: slow per-op, but only ONE f64 SpMV + axpy per cycle):
+
+        r_k = b - A z_k          (f64, A64 = finest operator in f64)
+        e_k = Vcycle(r_k, 0)     (f32)
+        z_{k+1} = z_k + e_k      (f64 accumulate)
+
+    A V-cycle is an affine iteration u + B(b - A u) with linear B, so in
+    exact arithmetic these iterates equal solve_loop's — r_his is directly
+    comparable with the reference's (residual recorded before each cycle,
+    break on tol, src/min_quad_with_fixed_mg.cpp:330-347), but the
+    attainable floor is f64's ~1e-15 instead of f32's ~1e-6 relative.
+    """
+    f32 = hier.levels[0].A.data.dtype
+
+    def cond(state):
+        k, _, _, done = state
+        return jnp.logical_and(~done, k < max_iter)
+
+    def body(state):
+        k, z, r_his, _ = state
+        r = rhs - ell_spmv(A64, z)
+        res = jnp.sqrt((r * r).sum())
+        r_his = r_his.at[k].set(res)
+        done = res < tol
+        e = vcycle(hier, r.astype(f32), jnp.zeros(r.shape, dtype=f32), cfg)
+        z = jax.lax.cond(
+            done, lambda zz: zz, lambda zz: zz + e.astype(z.dtype), z
+        )
+        return (k + 1, z, r_his, done)
+
+    z0 = z0.astype(rhs.dtype)
+    r_his0 = jnp.full((max_iter,), -1.0, dtype=rhs.dtype)
+    k, z, r_his, _ = jax.lax.while_loop(
+        cond, body, (0, z0, r_his0, jnp.asarray(False))
+    )
+    return z, r_his, k

@@ -92,3 +92,44 @@ def test_heavy_constraint_pruning():
         rhs[unknown] - A[unknown][:, known] @ kv,
     )
     np.testing.assert_allclose(z[unknown], z_ref, atol=1e-7)
+
+
+def test_iterative_refinement_f32_reaches_f64_tolerances():
+    # the TPU precision policy (DESIGN.md): f32 V-cycle hierarchy + f64
+    # defect correction must reach tolerances far below the f32 floor
+    import jax.numpy as jnp
+
+    V, F = icosphere(3)
+    mg = mg_precompute(V, F, min_coarsest_nv=80, verbose=False)
+    A = (-cotmatrix(V, F)).tocsr()
+    n = A.shape[0]
+    rng = np.random.default_rng(0)
+    known = np.sort(rng.choice(n, size=10, replace=False))
+    M = massmatrix(V, F)
+    B = np.asarray(M @ np.ones(n))
+    B[known] = 0.0
+    data = min_quad_with_fixed_mg_precompute(A, known, mg, dtype=jnp.float32)
+    assert data.A64 is not None  # built automatically for f32 under x64
+    z0 = rng.uniform(-1, 1, n)
+    # auto-engages: tol 1e-10 << 1e-6 * ||RHS||
+    z, r_his, ok = min_quad_with_fixed_mg_solve(
+        data, B, known_val=np.zeros(known.size), z0=z0,
+        tolerance=1e-10, max_iter=40,
+    )
+    assert ok, r_his
+    assert r_his[-1] < 1e-10
+    # plain f32 path at the same tolerance stalls above it
+    z2, r2, ok2 = min_quad_with_fixed_mg_solve(
+        data, B, known_val=np.zeros(known.size), z0=z0,
+        tolerance=1e-10, max_iter=40, refine=False,
+    )
+    assert not ok2 and r2[-1] > r_his[-1]
+    # both agree with the direct solution to f32-class accuracy; IR to f64
+    unknown = np.setdiff1d(np.arange(n), known)
+    z_ref = sp.linalg.spsolve(
+        A[unknown][:, unknown].tocsc(),
+        B[unknown] - A[unknown][:, known] @ np.zeros(known.size),
+    )
+    assert np.abs(z[unknown] - z_ref).max() < 1e-8 * max(
+        1.0, np.abs(z_ref).max()
+    )

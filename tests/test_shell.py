@@ -90,3 +90,15 @@ def test_vertex_normals_outward(sphere):
     # on a sphere, normals align with positions
     cos = (N * V).sum(1) / np.linalg.norm(V, axis=1)
     assert cos.min() > 0.9
+
+
+def test_run_balloon_bsr_matches_scalar(sphere):
+    # the default (BSR) driver path and the reference-layout scalar path
+    # must agree: same Newton schedule, same tolerances, different layout
+    V, F = sphere
+    kw = dict(n_steps=1, young=6e4, pressure=1e3, mg_tolerance=1e-8,
+              n_newton=3, verbose=False)
+    (p_bsr,) = run_balloon(V, F, solver="bsr", **kw)
+    (p_sca,) = run_balloon(V, F, solver="scalar", **kw)
+    scale = max(1.0, np.abs(p_sca - V).max())
+    assert np.abs(p_bsr - p_sca).max() < 1e-6 * scale
