@@ -72,6 +72,8 @@ def main():
     # dispatch constant.
     from surface_multigrid_code_tpu.solver.vcycle import solve_loop
 
+    if data.perm is not None:
+        rhs = rhs[data.perm]  # solve in the kernel's RCM ordering
     rhs_d = jax.device_put(jnp.asarray(rhs, dtype=jnp.float32))
     z0_d = jnp.zeros_like(rhs_d)
     tol_d = jnp.asarray(0.0, dtype=jnp.float32)

@@ -21,6 +21,7 @@ import scipy.sparse as sp
 import jax.numpy as jnp
 
 from surface_multigrid_code_tpu.ops.sparse import ELLMatrix, ell_spmv
+from surface_multigrid_code_tpu.ops.well import any_spmv
 
 
 def greedy_coloring(A: sp.spmatrix) -> np.ndarray:
@@ -127,7 +128,7 @@ def chebyshev_smooth(
     def dinv(v):
         return v / diag if v.ndim == 1 else v / diag[:, None]
 
-    r = dinv(b - ell_spmv(A, u))
+    r = dinv(b - any_spmv(A, u))
     alpha = 1.0 / theta
     d = alpha * r
     u = u + d
@@ -135,7 +136,7 @@ def chebyshev_smooth(
     rho = 1.0 / sigma
     for _ in range(degree - 1):
         rho_new = 1.0 / (2.0 * sigma - rho)
-        r = dinv(b - ell_spmv(A, u))
+        r = dinv(b - any_spmv(A, u))
         d = rho_new * rho * d + (2.0 * rho_new / delta) * r
         u = u + d
         rho = rho_new
@@ -149,8 +150,10 @@ def jacobi_sweep(
     u: jnp.ndarray,
     weight: float = 2.0 / 3.0,
 ) -> jnp.ndarray:
-    """One damped-Jacobi sweep: u += w * D^-1 (b - A u)."""
-    r = b - ell_spmv(A, u)
+    """One damped-Jacobi sweep: u += w * D^-1 (b - A u).
+
+    A may be an ELLMatrix or a windowed-ELL WellMatrix (ops/well.py)."""
+    r = b - any_spmv(A, u)
     if u.ndim == 1:
         return u + weight * r / diag
     return u + weight * r / diag[:, None]

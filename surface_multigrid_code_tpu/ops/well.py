@@ -1,0 +1,252 @@
+"""Windowed-ELL sparse matrix + Pallas TPU SpMV kernel.
+
+Why this exists: every XLA dynamic-gather phrasing on this hardware lowers
+to a serial ~6.4-cycle-per-element path (measured, benchmarks/probes/
+probe_gather.py), which makes the ELL SpMV gather-bound at ~0.1 Gnnz/s —
+400x off the HBM roofline. The reference's CPU SpMV
+(src/mg_VCycle.cpp:146-177, Eigen CSC sweeps) has no such problem; a
+TPU-native design must avoid the hardware gather entirely.
+
+Design: rows are banded by an RCM-class ordering so each block of
+B=1024 consecutive rows only references x inside a narrow window of
+H sublane-rows (H*128 values, H is 16-72 for surface meshes). The kernel
+keeps x resident in VMEM as [XR, 128]; for each row-block it reads the
+window [H, 128] and resolves each gather element (hi, lo) with
+  - a lane shuffle: jnp.take_along_axis(row_h, lo, axis=1)   (VPU)
+  - a sublane one-hot select: where(hi == h, ., .)           (VPU)
+i.e. ~2*H vector-tile ops per (tap, block) instead of a serial gather —
+measured ~100x faster than the XLA gather path at mesh scale.
+
+Element layout: row r of block b sits at tile (sublane r//128, lane
+r%128); taps are stored tap-major as [nb, w, 8, 128] flattened to
+[nb*w*8, 128] so a BlockSpec row-block of (w*8, 128) serves one grid step.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+
+B_ROWS = 1024          # rows per grid block (8 sublanes x 128 lanes)
+LANE = 128
+SUB = B_ROWS // LANE   # 8 sublane rows of output per block
+# above this w*H the unrolled kernel body exceeds Mosaic's scoped-VMEM
+# compile budget; such operators use the (slower) fori_loop body
+_UNROLL_CAP = 4096
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class WellMatrix:
+    """Windowed-ELL operator for the Pallas SpMV kernel.
+
+    rb:  int32 [nb]          window start sublane-row per block (mult of 8)
+    hb:  int32 [nb]          per-block window span (kernel loop bound <= H)
+    hi:  int32 [nb*w*8,128]  window-relative sublane row of each element
+    lo:  int32 [nb*w*8,128]  lane of each element
+    dat: float [nb*w*8,128]  values (0 padding)
+    n_rows / n_cols: logical shape;  w, H, XR: static layout params
+    """
+
+    rb: jnp.ndarray
+    hb: jnp.ndarray
+    hi: jnp.ndarray
+    lo: jnp.ndarray
+    dat: jnp.ndarray
+    n_rows: int
+    n_cols: int
+    w: int
+    H: int
+    XR: int
+
+    @property
+    def nb(self) -> int:
+        return self.rb.shape[0]
+
+    @property
+    def shape(self):
+        return (self.n_rows, self.n_cols)
+
+    def tree_flatten(self):
+        return (self.rb, self.hb, self.hi, self.lo, self.dat), (
+            self.n_rows, self.n_cols, self.w, self.H, self.XR)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        rb, hb, hi, lo, dat = children
+        return cls(rb, hb, hi, lo, dat, *aux)
+
+
+def build_well(A: sp.spmatrix, dtype=jnp.float32) -> WellMatrix:
+    """Pack a (pre-ordered!) scipy sparse matrix into WellMatrix.
+
+    The caller is responsible for row/column ordering that keeps each
+    1024-row block's column span narrow (see solver/ordering.py); H is
+    whatever the ordering achieves.
+    """
+    A = A.tocsr()
+    A.sum_duplicates()
+    n, m = A.shape
+    counts = np.diff(A.indptr)
+    w = max(int(counts.max(initial=0)), 1)
+    nb = max(-(-n // B_ROWS), 1)
+    n_pad = nb * B_ROWS
+
+    # dense ELL staging [n_pad, w]
+    idx = np.zeros((n_pad, w), dtype=np.int64)
+    val = np.zeros((n_pad, w), dtype=np.float64)
+    if A.nnz:
+        rows = np.repeat(np.arange(n), counts)
+        offs = np.arange(A.nnz) - np.repeat(A.indptr[:-1], counts)
+        idx[rows, offs] = A.indices
+        val[rows, offs] = A.data
+    # padding elements: point at the row-block's own window start later;
+    # value 0 makes them inert. For empty (padded) rows keep col 0.
+
+    # per-block window starts (sublane rows, aligned down to 8) + spans
+    rb = np.zeros(nb, dtype=np.int32)
+    hb = np.zeros(nb, dtype=np.int32)
+    H = 8
+    for b in range(nb):
+        blk = slice(b * B_ROWS, (b + 1) * B_ROWS)
+        vmask = val[blk] != 0.0
+        if not vmask.any():
+            continue
+        cols = idx[blk][vmask]
+        r0 = int(cols.min()) // LANE // 8 * 8
+        r1 = int(cols.max()) // LANE
+        rb[b] = r0
+        hb[b] = r1 - r0 + 1
+        H = max(H, r1 - r0 + 1)
+    H = -(-H // 8) * 8
+
+    loc = idx - (rb.repeat(B_ROWS) * LANE)[:, None]
+    # padding elements (val==0) → window-local (0, 0)
+    loc[val == 0.0] = 0
+    hi = (loc // LANE).astype(np.int32)
+    lo = (loc % LANE).astype(np.int32)
+    assert hi.min() >= 0 and hi.max() < H, (hi.min(), hi.max(), H)
+
+    # [n_pad, w] → [nb, w, 8, 128] tap-major → [nb*w*8, 128]
+    def pack(a):
+        a = a.reshape(nb, SUB, LANE, w)          # (b, sublane, lane, tap)
+        return np.ascontiguousarray(
+            a.transpose(0, 3, 1, 2)).reshape(nb * w * SUB, LANE)
+
+    XR = -(-m // LANE)
+    XR = max(-(-XR // 8) * 8, int(rb.max()) + H)
+    return WellMatrix(
+        rb=jnp.asarray(rb),
+        hb=jnp.asarray(hb),
+        hi=jnp.asarray(pack(hi)),
+        lo=jnp.asarray(pack(lo)),
+        dat=jnp.asarray(pack(val), dtype=dtype),
+        n_rows=n, n_cols=m, w=w, H=H, XR=XR,
+    )
+
+
+def any_spmv(A, x: jnp.ndarray) -> jnp.ndarray:
+    """SpMV dispatch: WellMatrix -> Pallas kernel, ELLMatrix -> XLA gather.
+
+    Multi-column x runs the kernel once per column (nrhs is small — 1 to 3
+    in every solver path)."""
+    if isinstance(A, WellMatrix):
+        if x.ndim == 1:
+            return well_spmv(A, x)
+        cols = [well_spmv(A, x[:, j]) for j in range(x.shape[1])]
+        return jnp.stack(cols, axis=1)
+    from surface_multigrid_code_tpu.ops.sparse import ell_spmv
+
+    return ell_spmv(A, x)
+
+
+@partial(jax.jit, static_argnames=("unpadded", "interpret"))
+def well_spmv(W: WellMatrix, x: jnp.ndarray, unpadded: bool = True,
+              interpret: bool = False):
+    """y = A @ x via the windowed Pallas kernel. x: [n_cols]."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    # CPU backends (tests, dryruns) run the kernel interpreted — the
+    # compiled Mosaic path is TPU-only.
+    interpret = interpret or jax.default_backend() == "cpu"
+
+    nb, w, H, XR = W.nb, W.w, W.H, W.XR
+    x_pad = jnp.zeros((XR * LANE,), dtype=W.dat.dtype)
+    x_pad = jax.lax.dynamic_update_slice(x_pad, x.astype(W.dat.dtype), (0,))
+    x2d = x_pad.reshape(XR, LANE)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((w * SUB, LANE), lambda b, rb, hb: (b, 0)),
+            pl.BlockSpec((w * SUB, LANE), lambda b, rb, hb: (b, 0)),
+            pl.BlockSpec((w * SUB, LANE), lambda b, rb, hb: (b, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((SUB, LANE), lambda b, rb, hb: (b, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((H, LANE), W.dat.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+
+    # Two kernel bodies sharing the window-DMA prologue. The fully
+    # unrolled form is ~27x faster at runtime (no loop control, static
+    # window-row reads) but its compile-time scoped-VMEM cost grows with
+    # w*H — a pathological operator (e.g. a 171-wide PT row hub on ogre's
+    # constrained hierarchy) blows the 16 MB scoped-vmem limit. Such
+    # operators take the fori_loop form with the PER-BLOCK span as a
+    # dynamic bound instead.
+    unrolled = w * H <= _UNROLL_CAP
+
+    def kernel(rb_ref, hb_ref, hi_ref, lo_ref, dat_ref, x_hbm, y_ref, win, sem):
+        b = pl.program_id(0)
+        rb0 = rb_ref[b]
+        span = hb_ref[b]
+        cp = pltpu.make_async_copy(x_hbm.at[pl.ds(rb0, H), :], win, sem)
+        cp.start()
+        cp.wait()
+        acc = jnp.zeros((SUB, LANE), dtype=y_ref.dtype)
+        for k in range(w):
+            hik = hi_ref[k * SUB:(k + 1) * SUB, :]
+            lok = lo_ref[k * SUB:(k + 1) * SUB, :]
+            datk = dat_ref[k * SUB:(k + 1) * SUB, :]
+            if unrolled:
+                g = jnp.zeros((SUB, LANE), dtype=x_hbm.dtype)
+                for h in range(H):
+                    row_b = jnp.broadcast_to(
+                        win[h, :].reshape(1, LANE), (SUB, LANE)
+                    )
+                    t = jnp.take_along_axis(row_b, lok, axis=1)
+                    g = jnp.where(hik == h, t, g)
+            else:
+                def h_step(h, g, hik=hik, lok=lok):
+                    row_b = jnp.broadcast_to(
+                        win[pl.ds(h, 1), :], (SUB, LANE)
+                    )
+                    t = jnp.take_along_axis(row_b, lok, axis=1)
+                    return jnp.where(hik == h, t, g)
+
+                g = jax.lax.fori_loop(
+                    0, span, h_step,
+                    jnp.zeros((SUB, LANE), dtype=x_hbm.dtype),
+                )
+            acc = acc + datk * g
+        y_ref[:, :] = acc
+
+    y2d = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb * SUB, LANE), W.dat.dtype),
+        interpret=interpret,
+    )(W.rb, W.hb, W.hi, W.lo, W.dat, x2d)
+    y = y2d.reshape(-1)
+    return y[: W.n_rows] if unpadded else y

@@ -59,6 +59,10 @@ class MQWFData:
     # finest operator in f64 for mixed-precision iterative refinement
     # (built when the hierarchy dtype is f32 and x64 is available)
     A64: object | None = None
+    # RCM-class row ordering of the reduced system when the hierarchy was
+    # built for the windowed Pallas kernel (solver/ordering.py); vectors
+    # are permuted at this host boundary, so callers never see it.
+    perm: np.ndarray | None = None
 
 
 def _default_dtype():
@@ -74,8 +78,16 @@ def min_quad_with_fixed_mg_precompute(
     cfg: SolveConfig = SolveConfig(),
     dtype=None,
     colorings: list[np.ndarray] | None = None,
+    well: bool | None = None,
 ) -> MQWFData:
-    """Precompute solver data. `known=None` or empty = unconstrained overload."""
+    """Precompute solver data. `known=None` or empty = unconstrained overload.
+
+    well: route every V-cycle SpMV through the windowed Pallas kernel
+    (ops/well.py) after RCM-ordering the hierarchy (solver/ordering.py).
+    None = auto: on for Jacobi/Chebyshev smoothing on an accelerator
+    backend, off on CPU (where the kernel would run interpreted) and for
+    multicolor GS (whose per-color row gathers use the ELL layout).
+    """
     dtype = dtype or _default_dtype()
     A = A.tocsr().astype(np.float64)
     n = A.shape[0]
@@ -147,25 +159,46 @@ def min_quad_with_fixed_mg_precompute(
     if colorings is None and cfg.smoother == SmootherType.MULTICOLOR_GS:
         colorings = [greedy_coloring(mg[lv].A) for lv in range(len(mg) - 1)]
 
+    import jax
+
+    if well is None:
+        well = (
+            cfg.smoother != SmootherType.MULTICOLOR_GS
+            and jax.default_backend() != "cpu"
+        )
+
+    As = [lvl.A for lvl in mg]
+    Ps = [mg[lv].P for lv in range(1, len(mg))]
+    perm = None
+    if well:
+        from surface_multigrid_code_tpu.solver.ordering import (
+            finest_rcm,
+            induced_orderings,
+            permute_hierarchy,
+        )
+
+        perms = induced_orderings(finest_rcm(As[0]), Ps)
+        As, Ps = permute_hierarchy(As, Ps, perms)
+        perm = perms[0]
+
     hier = build_device_hierarchy(
-        [lvl.A for lvl in mg],
-        [mg[lv].P for lv in range(1, len(mg))],
+        As,
+        Ps,
         cfg=cfg,
         dtype=dtype,
         colorings=colorings,
+        well=well,
     )
 
     # Mixed-precision support (DESIGN.md "Precision policy"): keep the
     # finest operator in f64 alongside the f32 hierarchy so tight-tolerance
     # solves can run iterative refinement.  Costs one extra finest-level
     # ELL copy; skipped when the hierarchy is already f64 or x64 is off.
-    import jax
-
     from surface_multigrid_code_tpu.ops.sparse import ell_from_csr
 
     A64 = None
     if dtype != jnp.float64 and jax.config.jax_enable_x64:
-        A64 = ell_from_csr(mg[0].A, dtype=jnp.float64)
+        A64 = ell_from_csr(As[0], dtype=jnp.float64)
 
     return MQWFData(
         n=n,
@@ -178,6 +211,7 @@ def min_quad_with_fixed_mg_precompute(
         dtype=dtype,
         colorings=colorings,
         A64=A64,
+        perm=perm,
     )
 
 
@@ -221,6 +255,10 @@ def min_quad_with_fixed_mg_solve(
         rhs_u = RHS
         z_u = z0
 
+    if data.perm is not None:
+        rhs_u = rhs_u[data.perm]
+        z_u = z_u[data.perm]
+
     from surface_multigrid_code_tpu.utils.profiler import profile_region
 
     if refine is None:
@@ -254,6 +292,10 @@ def min_quad_with_fixed_mg_solve(
             )
         z_dev.block_until_ready()
     z_u = np.asarray(z_dev, dtype=np.float64)
+    if data.perm is not None:
+        z_nat = np.empty_like(z_u)
+        z_nat[data.perm] = z_u
+        z_u = z_nat
     k = int(k)
     r_his = [float(r) for r in np.asarray(r_his_dev)[:k]]
     converged = bool(r_his and r_his[-1] <= tolerance)

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from surface_multigrid_code_tpu.config import SolveConfig, SmootherType
 from surface_multigrid_code_tpu.ops.sparse import ELLMatrix, ell_from_csr, ell_spmv
+from surface_multigrid_code_tpu.ops.well import any_spmv, build_well
 from surface_multigrid_code_tpu.ops.smoothers import (
     greedy_coloring,
     color_groups,
@@ -51,11 +52,17 @@ class DeviceLevel:
     groups: tuple[jnp.ndarray, ...]
     group_scale: tuple[jnp.ndarray, ...]
     lam_max: jnp.ndarray | None = None
+    # Windowed-ELL (Pallas kernel) variants of A / P / PT; populated when
+    # the hierarchy was built with well=True (RCM-class ordering applied).
+    # When present, every SpMV in the V-cycle routes through the kernel.
+    Aw: object | None = None
+    Pw: object | None = None
+    PTw: object | None = None
 
     def tree_flatten(self):
         children = (
             self.A, self.diag, self.P, self.PT, self.groups, self.group_scale,
-            self.lam_max,
+            self.lam_max, self.Aw, self.Pw, self.PTw,
         )
         return children, None
 
@@ -88,6 +95,7 @@ def build_device_hierarchy(
     cfg: SolveConfig = SolveConfig(),
     dtype=jnp.float64,
     colorings: list[np.ndarray] | None = None,
+    well: bool = False,
 ) -> DeviceHierarchy:
     """Host -> device hierarchy build.
 
@@ -95,6 +103,10 @@ def build_device_hierarchy(
     Ps: prolongations, Ps[l] maps level l+1 -> level l (len L-1).
     colorings: optional cached row colorings (sparsity is static across
     value refreshes, e.g. MCF's per-step rebuild).
+    well: additionally pack each operator into windowed-ELL form for the
+    Pallas SpMV kernel (ops/well.py). The caller must have applied a
+    bandwidth-minimizing ordering (solver/ordering.py) to As/Ps first —
+    windows (and kernel cost) are whatever the ordering achieves.
     """
     L = len(As)
     levels = []
@@ -126,10 +138,17 @@ def build_device_hierarchy(
             lam_max = jnp.asarray(
                 _power_iteration_lam_max(A), dtype=dtype
             )
+        Aw = Pw = PTw = None
+        if well:
+            Aw = build_well(A, dtype=dtype)
+            if lv > 0:
+                Pw = build_well(Ps[lv - 1], dtype=dtype)
+                PTw = build_well(Ps[lv - 1].T.tocsr(), dtype=dtype)
         levels.append(
             DeviceLevel(
                 A=ell, diag=diag, P=P, PT=PT, groups=groups,
                 group_scale=group_scale, lam_max=lam_max,
+                Aw=Aw, Pw=Pw, PTw=PTw,
             )
         )
     # Coarse solve: the reference prefactorizes with SimplicialLDLT after a
@@ -167,9 +186,10 @@ def _power_iteration_lam_max(A: sp.spmatrix, iters: int = 20) -> float:
 def _relax(level: DeviceLevel, b, u, cfg: SolveConfig, n_iter: int):
     """n_iter relaxation steps (the reference's `relax` x N,
     src/mg_VCycle.cpp:36,57,113-178)."""
+    Aop = level.Aw if level.Aw is not None else level.A
     if cfg.smoother == SmootherType.CHEBYSHEV and level.lam_max is not None:
         return chebyshev_smooth(
-            level.A, level.diag, level.lam_max, b, u, degree=n_iter
+            Aop, level.diag, level.lam_max, b, u, degree=n_iter
         )
     for _ in range(n_iter):
         if cfg.smoother == SmootherType.MULTICOLOR_GS and level.groups:
@@ -177,7 +197,7 @@ def _relax(level: DeviceLevel, b, u, cfg: SolveConfig, n_iter: int):
                 level.A, level.diag, level.groups, level.group_scale, b, u
             )
         else:
-            u = jacobi_sweep(level.A, level.diag, b, u, weight=cfg.jacobi_weight)
+            u = jacobi_sweep(Aop, level.diag, b, u, weight=cfg.jacobi_weight)
     return u
 
 
@@ -195,14 +215,14 @@ def vcycle(
             # additive coarse correction (reference src/mg_VCycle.cpp:181-201)
             return U + hier.coarse_inv @ B
         U = _relax(level, B, U, cfg, cfg.pre_relax_iter)
-        r = B - ell_spmv(level.A, U)
+        r = B - any_spmv(level.Aw if level.Aw is not None else level.A, U)
         nxt = hier.levels[lv + 1]
-        rc = ell_spmv(nxt.PT, r)
+        rc = any_spmv(nxt.PTw if nxt.PTw is not None else nxt.PT, r)
         uc = jnp.zeros(
             rc.shape if r.ndim > 1 else (nxt.A.n_rows,), dtype=r.dtype
         )
         uc = go(lv + 1, rc, uc)
-        U = U + ell_spmv(nxt.P, uc)
+        U = U + any_spmv(nxt.Pw if nxt.Pw is not None else nxt.P, uc)
         U = _relax(level, B, U, cfg, cfg.post_relax_iter)
         return U
 
@@ -223,10 +243,11 @@ def solve_loop(
     stops *before* cycling when below tol. Returns (z, r_his, n_recorded);
     r_his is padded to max_iter with -1.
     """
-    A0 = hier.levels[0].A
+    lv0 = hier.levels[0]
+    A0 = lv0.Aw if lv0.Aw is not None else lv0.A
 
     def resid(z):
-        r = rhs - ell_spmv(A0, z)
+        r = rhs - any_spmv(A0, z)
         return jnp.sqrt((r * r).sum())
 
     def cond(state):

@@ -1,0 +1,138 @@
+"""Windowed-ELL (Pallas) SpMV kernel + ordering tests (interpret mode on CPU)."""
+import numpy as np
+import scipy.sparse as sp
+import pytest
+
+import jax.numpy as jnp
+
+from surface_multigrid_code_tpu.ops.well import build_well, well_spmv, any_spmv
+from surface_multigrid_code_tpu.solver.ordering import (
+    finest_rcm,
+    induced_orderings,
+    permute_hierarchy,
+)
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(7)
+
+
+def _banded(rng, n=2000, half_bw=30, per_row=5):
+    rows = np.repeat(np.arange(n), per_row)
+    cols = np.clip(rows + rng.integers(-half_bw, half_bw + 1, size=rows.size), 0, n - 1)
+    vals = rng.standard_normal(rows.size)
+    return sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
+
+
+def test_well_spmv_banded(rng):
+    A = _banded(rng)
+    W = build_well(A, dtype=jnp.float32)
+    x = rng.standard_normal(A.shape[0]).astype(np.float32)
+    y = np.asarray(well_spmv(W, jnp.asarray(x)))
+    ref = A @ x
+    assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-5
+
+
+def test_well_spmv_rectangular(rng):
+    n, m = 1500, 400
+    rows = np.repeat(np.arange(n), 3)
+    cols = np.clip((rows * m) // n + rng.integers(-8, 9, size=rows.size), 0, m - 1)
+    P = sp.coo_matrix((rng.random(rows.size), (rows, cols)), shape=(n, m)).tocsr()
+    W = build_well(P, dtype=jnp.float32)
+    x = rng.standard_normal(m).astype(np.float32)
+    y = np.asarray(well_spmv(W, jnp.asarray(x)))
+    ref = P @ x
+    assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-5
+
+
+def test_well_spmv_multirhs(rng):
+    A = _banded(rng, n=800)
+    W = build_well(A, dtype=jnp.float32)
+    X = rng.standard_normal((A.shape[0], 3)).astype(np.float32)
+    Y = np.asarray(any_spmv(W, jnp.asarray(X)))
+    ref = A @ X
+    assert np.abs(Y - ref).max() / np.abs(ref).max() < 1e-5
+
+
+def test_well_empty_rows(rng):
+    """Rows with no nonzeros (pruned columns / padding) must produce 0."""
+    A = _banded(rng, n=700)
+    A = A.tolil()
+    A[5] = 0
+    A[699] = 0
+    A = A.tocsr()
+    A.eliminate_zeros()
+    W = build_well(A, dtype=jnp.float32)
+    x = rng.standard_normal(700).astype(np.float32)
+    y = np.asarray(well_spmv(W, jnp.asarray(x)))
+    assert y[5] == 0.0 and y[699] == 0.0
+    ref = A @ x
+    assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-5
+
+
+def test_induced_orderings_are_permutations(rng):
+    from surface_multigrid_code_tpu.ops.laplacian import cotmatrix, massmatrix
+    from surface_multigrid_code_tpu.solver.hierarchy import mg_precompute
+    from surface_multigrid_code_tpu.utils.synthetic import icosphere
+
+    V, F = icosphere(3)
+    mg = mg_precompute(V, F, verbose=False)
+    A = (massmatrix(V, F) - 0.01 * cotmatrix(V, F)).tocsr()
+    As = [A]
+    Ps = []
+    for lv in range(1, len(mg)):
+        P = mg[lv].P_full.tocsr()
+        Ps.append(P)
+        As.append((P.T @ As[-1] @ P).tocsr())
+    perms = induced_orderings(finest_rcm(As[0]), Ps)
+    assert len(perms) == len(As)
+    for p, M in zip(perms, As):
+        assert np.array_equal(np.sort(p), np.arange(M.shape[0]))
+    As_p, Ps_p = permute_hierarchy(As, Ps, perms)
+    # permuted Galerkin product must equal the permutation of the product
+    for l in range(len(Ps)):
+        G = (Ps_p[l].T @ As_p[l] @ Ps_p[l]).tocsr()
+        d = abs(G - As_p[l + 1]).max()
+        assert d < 1e-10
+
+
+def test_well_end_to_end_solve_matches_ell(rng):
+    import copy
+
+    from surface_multigrid_code_tpu.config import SolveConfig, SmootherType
+    from surface_multigrid_code_tpu.ops.laplacian import cotmatrix, massmatrix
+    from surface_multigrid_code_tpu.solver.hierarchy import mg_precompute
+    from surface_multigrid_code_tpu.solver.mqwf_mg import (
+        min_quad_with_fixed_mg_precompute,
+        min_quad_with_fixed_mg_solve,
+    )
+    from surface_multigrid_code_tpu.utils.synthetic import icosphere
+
+    V, F = icosphere(3)
+    mg = mg_precompute(V, F, verbose=False)
+    mg2 = copy.deepcopy(mg)
+    A = (massmatrix(V, F) - 0.01 * cotmatrix(V, F)).tocsr()
+    B = np.asarray(massmatrix(V, F) @ V[:, 0])
+    cfg = SolveConfig(smoother=SmootherType.JACOBI)
+    d0 = min_quad_with_fixed_mg_precompute(
+        A, None, mg, cfg=cfg, dtype=jnp.float32, well=False
+    )
+    d1 = min_quad_with_fixed_mg_precompute(
+        A, None, mg2, cfg=cfg, dtype=jnp.float32, well=True
+    )
+    z0, r0, ok0 = min_quad_with_fixed_mg_solve(
+        d0, B, tolerance=1e-6, max_iter=10, refine=False
+    )
+    z1, r1, ok1 = min_quad_with_fixed_mg_solve(
+        d1, B, tolerance=1e-6, max_iter=10, refine=False
+    )
+    assert ok0 and ok1 and len(r0) == len(r1)
+    # compare trajectories above the f32 rounding floor (~1e-7 relative);
+    # below it the two summation orders legitimately differ
+    floor = 1e-6 * r0[0]
+    cmp = [(a, b) for a, b in zip(r1, r0) if b > floor]
+    if cmp:
+        a, b = map(np.asarray, zip(*cmp))
+        np.testing.assert_allclose(a, b, rtol=5e-3)
+    assert np.abs(z1 - z0).max() / np.abs(z0).max() < 1e-4
