@@ -108,8 +108,12 @@ class BalloonNewtonSolver:
             dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
         # build_solver=False: assembly machinery only (the sharded balloon
         # path routes solves through parallel/halo.py instead)
+        # well=False: the scalar-expanded steppers hand natural-order
+        # vectors straight to _refresh_impl/solve_loop, so the windowed
+        # kernel's permuted hierarchy would mismatch them. The block (BSR)
+        # stepper is the fast path on TPU (solver/bsr.py).
         self.solver = (
-            RefreshableMGSolver(mg, pattern, cfg=cfg, dtype=dtype)
+            RefreshableMGSolver(mg, pattern, cfg=cfg, dtype=dtype, well=False)
             if build_solver
             else None
         )

@@ -83,13 +83,23 @@ class WellMatrix:
         return cls(rb, hb, hi, lo, dat, *aux)
 
 
-def build_well(A: sp.spmatrix, dtype=jnp.float32) -> WellMatrix:
-    """Pack a (pre-ordered!) scipy sparse matrix into WellMatrix.
+def _host_pack(a, nb, w):
+    """[nb*B_ROWS, w] -> tap-major [nb*w*8, 128] (host)."""
+    a = a.reshape(nb, SUB, LANE, w)              # (b, sublane, lane, tap)
+    return np.ascontiguousarray(
+        a.transpose(0, 3, 1, 2)).reshape(nb * w * SUB, LANE)
 
-    The caller is responsible for row/column ordering that keeps each
-    1024-row block's column span narrow (see solver/ordering.py); H is
-    whatever the ordering achieves.
-    """
+
+def well_layout(A: sp.spmatrix, dtype=jnp.float32) -> WellMatrix:
+    """Structural layout (rb/hb/hi/lo from the SPARSITY, dat zeroed) of a
+    (pre-ordered!) scipy matrix.  Windows cover every STRUCTURAL nonzero,
+    so the layout stays valid across value refreshes; slot order per row is
+    canonical CSR — the same convention as ops/sparse.ell_from_csr and
+    solver/galerkin's ell layouts, which well_repack relies on.
+
+    The caller is responsible for a row/column ordering that keeps each
+    1024-row block's column span narrow (solver/ordering.py); H is
+    whatever the ordering achieves."""
     A = A.tocsr()
     A.sum_duplicates()
     n, m = A.shape
@@ -98,16 +108,14 @@ def build_well(A: sp.spmatrix, dtype=jnp.float32) -> WellMatrix:
     nb = max(-(-n // B_ROWS), 1)
     n_pad = nb * B_ROWS
 
-    # dense ELL staging [n_pad, w]
+    # dense ELL staging [n_pad, w]; `struct` marks real (structural) slots
     idx = np.zeros((n_pad, w), dtype=np.int64)
-    val = np.zeros((n_pad, w), dtype=np.float64)
+    struct = np.zeros((n_pad, w), dtype=bool)
     if A.nnz:
         rows = np.repeat(np.arange(n), counts)
         offs = np.arange(A.nnz) - np.repeat(A.indptr[:-1], counts)
         idx[rows, offs] = A.indices
-        val[rows, offs] = A.data
-    # padding elements: point at the row-block's own window start later;
-    # value 0 makes them inert. For empty (padded) rows keep col 0.
+        struct[rows, offs] = True
 
     # per-block window starts (sublane rows, aligned down to 8) + spans
     rb = np.zeros(nb, dtype=np.int32)
@@ -115,10 +123,10 @@ def build_well(A: sp.spmatrix, dtype=jnp.float32) -> WellMatrix:
     H = 8
     for b in range(nb):
         blk = slice(b * B_ROWS, (b + 1) * B_ROWS)
-        vmask = val[blk] != 0.0
-        if not vmask.any():
+        smask = struct[blk]
+        if not smask.any():
             continue
-        cols = idx[blk][vmask]
+        cols = idx[blk][smask]
         r0 = int(cols.min()) // LANE // 8 * 8
         r1 = int(cols.max()) // LANE
         rb[b] = r0
@@ -127,27 +135,60 @@ def build_well(A: sp.spmatrix, dtype=jnp.float32) -> WellMatrix:
     H = -(-H // 8) * 8
 
     loc = idx - (rb.repeat(B_ROWS) * LANE)[:, None]
-    # padding elements (val==0) → window-local (0, 0)
-    loc[val == 0.0] = 0
+    loc[~struct] = 0          # padding slots -> window-local (0, 0)
     hi = (loc // LANE).astype(np.int32)
     lo = (loc % LANE).astype(np.int32)
     assert hi.min() >= 0 and hi.max() < H, (hi.min(), hi.max(), H)
-
-    # [n_pad, w] → [nb, w, 8, 128] tap-major → [nb*w*8, 128]
-    def pack(a):
-        a = a.reshape(nb, SUB, LANE, w)          # (b, sublane, lane, tap)
-        return np.ascontiguousarray(
-            a.transpose(0, 3, 1, 2)).reshape(nb * w * SUB, LANE)
 
     XR = -(-m // LANE)
     XR = max(-(-XR // 8) * 8, int(rb.max()) + H)
     return WellMatrix(
         rb=jnp.asarray(rb),
         hb=jnp.asarray(hb),
-        hi=jnp.asarray(pack(hi)),
-        lo=jnp.asarray(pack(lo)),
-        dat=jnp.asarray(pack(val), dtype=dtype),
+        hi=jnp.asarray(_host_pack(hi, nb, w)),
+        lo=jnp.asarray(_host_pack(lo, nb, w)),
+        dat=jnp.zeros((nb * w * SUB, LANE), dtype=dtype),
         n_rows=n, n_cols=m, w=w, H=H, XR=XR,
+    )
+
+
+def well_repack(W: WellMatrix, ell_data: jnp.ndarray) -> WellMatrix:
+    """New WellMatrix with values from a canonical [n, w] ELL data array
+    (e.g. a Galerkin refresh output) — pure reshape/transpose on device,
+    no gather."""
+    nb, w = W.nb, W.w
+    n_pad = nb * B_ROWS
+    d = jnp.zeros((n_pad, w), dtype=W.dat.dtype)
+    d = jax.lax.dynamic_update_slice(
+        d, ell_data.astype(W.dat.dtype), (0, 0)
+    )
+    dat = (
+        d.reshape(nb, SUB, LANE, w)
+        .transpose(0, 3, 1, 2)
+        .reshape(nb * w * SUB, LANE)
+    )
+    return WellMatrix(
+        rb=W.rb, hb=W.hb, hi=W.hi, lo=W.lo, dat=dat,
+        n_rows=W.n_rows, n_cols=W.n_cols, w=W.w, H=W.H, XR=W.XR,
+    )
+
+
+def build_well(A: sp.spmatrix, dtype=jnp.float32) -> WellMatrix:
+    """Structural layout + values of a (pre-ordered!) scipy matrix."""
+    A = A.tocsr()
+    A.sum_duplicates()
+    W = well_layout(A, dtype=dtype)
+    counts = np.diff(A.indptr)
+    n_pad = W.nb * B_ROWS
+    val = np.zeros((n_pad, W.w), dtype=np.float64)
+    if A.nnz:
+        rows = np.repeat(np.arange(A.shape[0]), counts)
+        offs = np.arange(A.nnz) - np.repeat(A.indptr[:-1], counts)
+        val[rows, offs] = A.data
+    return WellMatrix(
+        rb=W.rb, hb=W.hb, hi=W.hi, lo=W.lo,
+        dat=jnp.asarray(_host_pack(val, W.nb, W.w), dtype=dtype),
+        n_rows=W.n_rows, n_cols=W.n_cols, w=W.w, H=W.H, XR=W.XR,
     )
 
 

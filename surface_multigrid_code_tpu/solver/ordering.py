@@ -76,3 +76,31 @@ def permute_hierarchy(
         for l in range(len(Ps))
     ]
     return As_p, Ps_p
+
+
+def nnz_permutation_map(A: sp.spmatrix, perm: np.ndarray) -> np.ndarray:
+    """For each canonical-CSR nnz of A_perm = A[perm][:, perm], the nnz id
+    within (canonical-CSR) A — so permuted-space value vectors can be
+    produced by one static gather (or by composing this map into existing
+    gather indices at zero runtime cost)."""
+    A = A.tocsr()
+    A.sum_duplicates()
+    A.sort_indices()
+    n = A.shape[0]
+    perm = np.asarray(perm, dtype=np.int64)
+    Ap = A[perm][:, perm].tocsr()
+    Ap.sum_duplicates()
+    Ap.sort_indices()
+    rows_p = np.repeat(np.arange(n), np.diff(Ap.indptr))
+    # source (row, col) of each permuted nnz
+    src_r = perm[rows_p]
+    src_c = perm[Ap.indices]
+    prows = np.repeat(np.arange(n, dtype=np.int64), np.diff(A.indptr))
+    pkeys = prows * n + A.indices
+    qkeys = src_r * n + src_c
+    slots = np.searchsorted(pkeys, qkeys)
+    if slots.max(initial=-1) >= pkeys.shape[0] or not np.array_equal(
+        pkeys[np.minimum(slots, pkeys.shape[0] - 1)], qkeys
+    ):
+        raise ValueError("permuted nnz missing from source pattern")
+    return slots.astype(np.int64)

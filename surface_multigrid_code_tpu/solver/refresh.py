@@ -62,9 +62,16 @@ class RefreshableMGSolver:
         dtype=jnp.float32,
         coarsest_shift: float = 1e-12,
         prune_threshold: float = 1e-15,
+        well: bool | None = None,
     ):
         self.cfg = cfg or SolveConfig(smoother=SmootherType.JACOBI)
         self.dtype = dtype
+        if well is None:
+            well = (
+                self.cfg.smoother != SmootherType.MULTICOLOR_GS
+                and jax.default_backend() != "cpu"
+            )
+        self.well = bool(well)
         A0 = A0_pattern.tocsr().copy()
         A0.sum_duplicates()
         self.A0_full_pattern = A0
@@ -116,10 +123,79 @@ class RefreshableMGSolver:
             self._uk_shape = (Auk.shape[0], width)
             self._uk_indices = jnp.asarray(ind_uk)
             A0 = Auu
+        # Windowed-kernel ordering (solver/ordering.py): permute the whole
+        # reduced hierarchy, then make the permutation FREE at refresh time
+        # by composing its nnz map into the gathers that already read the
+        # finest value vector (plan.lvl0 / level-1 contraction for the
+        # unconstrained path; uu_map for the constrained one).
+        self.perm = None
+        val_map = None
+        if self.well:
+            from surface_multigrid_code_tpu.solver.ordering import (
+                finest_rcm,
+                induced_orderings,
+                nnz_permutation_map,
+                permute_hierarchy,
+            )
+
+            perms = induced_orderings(finest_rcm(A0), Ps)
+            val_map = nnz_permutation_map(A0, perms[0])
+            (A0_list, Ps) = permute_hierarchy([A0], Ps, perms)
+            A0 = A0_list[0]
+            self.perm = perms[0]
+            if self.known.size:
+                # the constraint fold scatters into unknown-row positions;
+                # remap them so the fold lands directly in permuted order
+                rank = np.empty(self.perm.shape[0], dtype=np.int64)
+                rank[self.perm] = np.arange(self.perm.shape[0])
+                self._uk_rows = jnp.asarray(
+                    rank[np.asarray(self._uk_rows)]
+                )
         self.A0_pattern = A0
         self.plan: GalerkinPlan = build_galerkin_plan(A0, Ps)
+        if self.well and self.known.size:
+            # constrained: route the permutation through the existing
+            # full->Auu gather
+            self._uu_map = jnp.asarray(np.asarray(self._uu_map)[val_map])
+        elif self.well:
+            # unconstrained: rewrite the plan arrays that index finest nnz
+            # (sentinel id nnz maps to itself)
+            nnz = A0.nnz
+            vm = np.append(val_map, nnz)
+            l0 = self.plan.lvl0
+            new_l0 = _replace_plan_gathers(
+                l0,
+                ell_gather=jnp.asarray(
+                    vm[np.asarray(l0.ell_gather)].astype(np.int32)
+                ),
+                diag_idx=jnp.asarray(val_map[np.asarray(l0.diag_idx)]),
+            )
+            new_levels = list(self.plan.levels)
+            if new_levels:
+                lv1 = new_levels[0]
+                new_levels[0] = _replace_plan_gathers(
+                    lv1,
+                    gat_idx=jnp.asarray(
+                        vm[np.asarray(lv1.gat_idx)].astype(np.int32)
+                    ),
+                    tail_idx=jnp.asarray(vm[np.asarray(lv1.tail_idx)]),
+                )
+            self.plan = GalerkinPlan(levels=tuple(new_levels), lvl0=new_l0)
         self.P_ell = [ell_from_csr(P, dtype=dtype) for P in Ps]
         self.PT_ell = [ell_from_csr(P.T.tocsr(), dtype=dtype) for P in Ps]
+        if self.well:
+            from surface_multigrid_code_tpu.ops.well import (
+                build_well,
+                well_layout,
+            )
+            from surface_multigrid_code_tpu.solver.galerkin import plan_pattern
+
+            pats = [A0] + [plan_pattern(pl_) for pl_ in self.plan.levels]
+            self.well_layouts = [well_layout(p, dtype=dtype) for p in pats]
+            self.P_well = [build_well(P, dtype=dtype) for P in Ps]
+            self.PT_well = [
+                build_well(P.T.tocsr(), dtype=dtype) for P in Ps
+            ]
         self.coarsest_shift = float(coarsest_shift)
 
         # static per-level metadata
@@ -149,6 +225,12 @@ class RefreshableMGSolver:
             "groups": tuple(self._groups),
             "group_scales": tuple(self._group_scales),
         }
+        if self.well:
+            self._state.update(
+                well_layouts=tuple(self.well_layouts),
+                P_well=tuple(self.P_well),
+                PT_well=tuple(self.PT_well),
+            )
         if self.known.size:
             self._state.update(
                 uu_map=self._uu_map,
@@ -186,6 +268,14 @@ class RefreshableMGSolver:
         for lv, (pl_, (data, diag)) in enumerate(zip(plans, levels_vals)):
             n, w = pl_.ell_shape
             ell = ELLMatrix(indices=pl_.ell_indices, data=data, n_cols=n)
+            Aw = Pw = PTw = None
+            if self.well:
+                from surface_multigrid_code_tpu.ops.well import well_repack
+
+                Aw = well_repack(state["well_layouts"][lv], data)
+                if lv > 0:
+                    Pw = state["P_well"][lv - 1]
+                    PTw = state["PT_well"][lv - 1]
             lam_max = None
             if self.cfg.smoother == SmootherType.CHEBYSHEV and lv < L - 1:
                 if lam_in is not None and lam_in[lv] is not None:
@@ -205,6 +295,9 @@ class RefreshableMGSolver:
                         else ()
                     ),
                     lam_max=lam_max,
+                    Aw=Aw,
+                    Pw=Pw,
+                    PTw=PTw,
                 )
             )
         # dense coarsest + Cholesky inverse (device; SPD assumed)
@@ -273,6 +366,9 @@ class RefreshableMGSolver:
                 if z0 is None
                 else np.asarray(z0, dtype=np.float64)[self.unknown]
             )
+            if self.perm is not None:
+                rhs_u = rhs_u[self.perm]
+                z0_u = z0_u[self.perm]
             with profile_region("MG: refresh+solve", trace=True):
                 z_u, r_his, k = self._solve_k(
                     self._state,
@@ -284,10 +380,19 @@ class RefreshableMGSolver:
                     int(max_iter),
                 )
                 z_u.block_until_ready()
+            z_u = np.asarray(z_u, dtype=np.float64)
+            if self.perm is not None:
+                z_nat = np.empty_like(z_u)
+                z_nat[self.perm] = z_u
+                z_u = z_nat
             z = np.empty_like(rhs)
-            z[self.unknown] = np.asarray(z_u, dtype=np.float64)
+            z[self.unknown] = z_u
             z[self.known] = kv
         else:
+            if self.perm is not None:
+                rhs = rhs[self.perm]
+                if z0 is not None:
+                    z0 = np.asarray(z0, dtype=np.float64)[self.perm]
             rhs_d = jnp.asarray(rhs, dtype=self.dtype)
             z0_d = (
                 jnp.zeros_like(rhs_d)
@@ -305,10 +410,22 @@ class RefreshableMGSolver:
                 )
                 z.block_until_ready()
             z = np.asarray(z, dtype=np.float64)
+            if self.perm is not None:
+                z_nat = np.empty_like(z)
+                z_nat[self.perm] = z
+                z = z_nat
         k = int(k)
         r_list = [float(r) for r in np.asarray(r_his)[:k]]
         converged = bool(r_list and r_list[-1] <= tolerance)
         return z, r_list, converged
+
+
+def _replace_plan_gathers(plan, **kw):
+    """dataclasses.replace for LevelPlan (rewrite finest-nnz gather arrays
+    when composing an ordering's nnz permutation into the plan)."""
+    import dataclasses
+
+    return dataclasses.replace(plan, **kw)
 
 
 def _submatrix_nnz_map(

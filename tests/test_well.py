@@ -136,3 +136,62 @@ def test_well_end_to_end_solve_matches_ell(rng):
         a, b = map(np.asarray, zip(*cmp))
         np.testing.assert_allclose(a, b, rtol=5e-3)
     assert np.abs(z1 - z0).max() / np.abs(z0).max() < 1e-4
+
+
+def test_refresh_solver_well_matches_ell(rng):
+    from surface_multigrid_code_tpu.config import SolveConfig, SmootherType
+    from surface_multigrid_code_tpu.ops.laplacian import cotmatrix, massmatrix
+    from surface_multigrid_code_tpu.solver.hierarchy import mg_precompute
+    from surface_multigrid_code_tpu.solver.refresh import RefreshableMGSolver
+    from surface_multigrid_code_tpu.utils.synthetic import icosphere
+
+    V, F = icosphere(3)
+    mg = mg_precompute(V, F, verbose=False)
+    A = (massmatrix(V, F) - 0.01 * cotmatrix(V, F)).tocsr()
+    A.sum_duplicates()
+    A.sort_indices()
+    rhs = np.asarray(massmatrix(V, F) @ V[:, 0])
+    cfg = SolveConfig(smoother=SmootherType.JACOBI)
+    s0 = RefreshableMGSolver(mg, A, cfg=cfg, dtype=jnp.float32, well=False)
+    s1 = RefreshableMGSolver(mg, A, cfg=cfg, dtype=jnp.float32, well=True)
+    assert s1.perm is not None
+    # unconstrained + a value refresh on the same pattern
+    for scale in (0.01, 0.03):
+        A2 = (massmatrix(V, F) - scale * cotmatrix(V, F)).tocsr()
+        A2.sum_duplicates()
+        A2.sort_indices()
+        z0, r0, ok0 = s0.solve(A2.data, rhs, tolerance=1e-6, max_iter=10)
+        z1, r1, ok1 = s1.solve(A2.data, rhs, tolerance=1e-6, max_iter=10)
+        assert ok0 and ok1 and len(r0) == len(r1)
+        assert np.abs(z1 - z0).max() / np.abs(z0).max() < 1e-4
+    # constrained
+    b = np.arange(25, dtype=np.int64)
+    kv = 0.1 * np.ones(b.size)
+    s2 = RefreshableMGSolver(mg, A, known=b, cfg=cfg, dtype=jnp.float32, well=False)
+    s3 = RefreshableMGSolver(mg, A, known=b, cfg=cfg, dtype=jnp.float32, well=True)
+    z2, r2, _ = s2.solve(A.data, rhs, known_val=kv, tolerance=1e-6, max_iter=10)
+    z3, r3, _ = s3.solve(A.data, rhs, known_val=kv, tolerance=1e-6, max_iter=10)
+    assert len(r2) == len(r3)
+    assert np.abs(z3 - z2).max() / np.abs(z2).max() < 1e-4
+
+
+def test_mcf_stepper_well_matches_ell(rng):
+    from surface_multigrid_code_tpu.config import SolveConfig, SmootherType
+    from surface_multigrid_code_tpu.models.mcf import MCFStepper
+    from surface_multigrid_code_tpu.solver.hierarchy import mg_precompute
+    from surface_multigrid_code_tpu.utils.mesh import normalize_unit_area
+    from surface_multigrid_code_tpu.utils.synthetic import icosphere
+
+    V, F = icosphere(3)
+    V = normalize_unit_area(V, F)
+    mg = mg_precompute(V, F, verbose=False)
+    cfg = SolveConfig(smoother=SmootherType.JACOBI)
+    s0 = MCFStepper(V, F, mg, cfg=cfg, dtype=jnp.float32, well=False)
+    s1 = MCFStepper(V, F, mg, cfg=cfg, dtype=jnp.float32, well=True)
+    assert s1.solver.perm is not None
+    U0, U1 = V.copy(), V.copy()
+    for _ in range(2):
+        U0, r0, _ = s0.step(U0)
+        U1, r1, _ = s1.step(U1)
+        assert len(r0) == len(r1)
+        assert np.abs(U1 - U0).max() / np.abs(U0).max() < 5e-5
