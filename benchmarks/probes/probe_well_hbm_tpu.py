@@ -23,8 +23,8 @@ cfg = SolveConfig(smoother=SmootherType.JACOBI)
 t0 = time.time()
 data = min_quad_with_fixed_mg_precompute(A, None, mg, cfg=cfg, dtype=jnp.float32, well=True)
 t_pre = time.time() - t0
-print(f"precompute(well) {t_pre:.0f}s Hs={[l.Aw.H for l in data.hier.levels]} "
-      f"ws={[l.Aw.w for l in data.hier.levels]}", flush=True)
+print(f"precompute(well) {t_pre:.0f}s Hs={[tuple(w.H for w in l.Aw) for l in data.hier.levels]} "
+      f"ws={[tuple(w.w for w in l.Aw) for l in data.hier.levels]}", flush=True)
 
 rhs_p = rhs[data.perm]
 rhs_d = jax.device_put(jnp.asarray(rhs_p, dtype=jnp.float32))

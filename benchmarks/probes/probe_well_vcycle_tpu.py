@@ -19,7 +19,7 @@ cfg = SolveConfig(smoother=SmootherType.JACOBI)
 t0 = time.time()
 data = min_quad_with_fixed_mg_precompute(A, None, mg, cfg=cfg, dtype=jnp.float32, well=True)
 print(f"precompute(well) {time.time()-t0:.1f}s  Hs="
-      f"{[l.Aw.H for l in data.hier.levels]}", flush=True)
+      f"{[tuple(w.H for w in l.Aw) for l in data.hier.levels]}", flush=True)
 
 rhs_p = rhs[data.perm]
 rhs_d = jax.device_put(jnp.asarray(rhs_p, dtype=jnp.float32))

@@ -192,11 +192,63 @@ def build_well(A: sp.spmatrix, dtype=jnp.float32) -> WellMatrix:
     )
 
 
+def build_well_sliced(
+    A: sp.spmatrix, dtype=jnp.float32, hs: int = 32
+) -> tuple:
+    """Split a (pre-ordered!) matrix into window-band slices of <= hs
+    sublane rows each and pack every band as its own WellMatrix.
+
+    The kernel's cost per element is ~2*H tile-ops where H is the SHARED
+    block window span; banding + per-row slot compaction gives every
+    element a window of at most hs rows instead, which is both faster
+    (e.g. the depth-9 icosphere PT lv1: H=200 -> 7 slices of <=40) and
+    keeps each unrolled body far below the Mosaic scoped-VMEM compile
+    cap. Use for operators with STATIC values (P/PT, one-shot A levels);
+    value-refreshed operators need the unsliced layout for the
+    pure-reshape well_repack."""
+    A = A.tocsr()
+    A.sum_duplicates()
+    n, m = A.shape
+    counts = np.diff(A.indptr)
+    rows = np.repeat(np.arange(n), counts)
+    cols = A.indices
+    blk = rows // B_ROWS
+    nb = max(-(-n // B_ROWS), 1)
+    # per-block aligned window start (same convention as well_layout)
+    rb_blk = np.zeros(nb, dtype=np.int64)
+    if cols.size:
+        first = np.searchsorted(blk, np.arange(nb))
+        last = np.searchsorted(blk, np.arange(nb), side="right")
+        for b in range(nb):
+            if last[b] > first[b]:
+                rb_blk[b] = cols[first[b]:last[b]].min() // LANE // 8 * 8
+    hi = cols // LANE - rb_blk[blk]
+    band = hi // hs
+    out = []
+    for sband in range(int(band.max(initial=0)) + 1):
+        mask = band == sband
+        if not mask.any():
+            continue
+        Asl = sp.coo_matrix(
+            (A.data[mask], (rows[mask], cols[mask])), shape=(n, m)
+        ).tocsr()
+        out.append(build_well(Asl, dtype=dtype))
+    if not out:
+        out.append(build_well(A, dtype=dtype))
+    return tuple(out)
+
+
 def any_spmv(A, x: jnp.ndarray) -> jnp.ndarray:
-    """SpMV dispatch: WellMatrix -> Pallas kernel, ELLMatrix -> XLA gather.
+    """SpMV dispatch: WellMatrix (or a tuple of band slices) -> Pallas
+    kernel, ELLMatrix -> XLA gather.
 
     Multi-column x runs the kernel once per column (nrhs is small — 1 to 3
     in every solver path)."""
+    if isinstance(A, tuple):
+        y = any_spmv(A[0], x)
+        for Wi in A[1:]:
+            y = y + any_spmv(Wi, x)
+        return y
     if isinstance(A, WellMatrix):
         if x.ndim == 1:
             return well_spmv(A, x)

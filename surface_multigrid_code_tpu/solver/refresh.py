@@ -185,16 +185,18 @@ class RefreshableMGSolver:
         self.PT_ell = [ell_from_csr(P.T.tocsr(), dtype=dtype) for P in Ps]
         if self.well:
             from surface_multigrid_code_tpu.ops.well import (
-                build_well,
+                build_well_sliced,
                 well_layout,
             )
             from surface_multigrid_code_tpu.solver.galerkin import plan_pattern
 
+            # A levels need the unsliced layout (well_repack refreshes
+            # values with a pure reshape); P/PT are value-static -> sliced
             pats = [A0] + [plan_pattern(pl_) for pl_ in self.plan.levels]
             self.well_layouts = [well_layout(p, dtype=dtype) for p in pats]
-            self.P_well = [build_well(P, dtype=dtype) for P in Ps]
+            self.P_well = [build_well_sliced(P, dtype=dtype) for P in Ps]
             self.PT_well = [
-                build_well(P.T.tocsr(), dtype=dtype) for P in Ps
+                build_well_sliced(P.T.tocsr(), dtype=dtype) for P in Ps
             ]
         self.coarsest_shift = float(coarsest_shift)
 
