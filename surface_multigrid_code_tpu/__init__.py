@@ -8,11 +8,12 @@ Jacobson; SIGGRAPH 2021), re-designed TPU-first:
   self-parameterization, emitting flat arrays (CSR/ELL prolongations,
   flattened collapse logs).
 - Device runtime (online): jitted Galerkin multigrid V-cycles with
-  multi-color Gauss-Seidel / weighted-Jacobi smoothing, XLA-lowered
-  ELL/BSR SpMV (the measured-fastest gather path on this hardware —
-  see DESIGN.md "Why no Pallas kernel" for the Mosaic gather
-  measurements), dense coarse solves, and shard_map-based multi-chip
-  row partitioning.
+  multi-color Gauss-Seidel / weighted-Jacobi smoothing, a windowed-ELL
+  Pallas SpMV kernel on the Jacobi/Chebyshev hot path (ops/well.py;
+  RCM row blocks + in-kernel lane gathers — see DESIGN.md "The
+  windowed-ELL Pallas kernel" for measurements; the multicolor-GS and
+  sharded paths use the XLA ELL gather), dense coarse solves, and
+  shard_map-based multi-chip row partitioning.
 
 Reference behavior is documented against HTDerekLiu/surface_multigrid_code
 (file:line cites in docstrings); the implementation is new.
