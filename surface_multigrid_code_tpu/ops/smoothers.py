@@ -104,6 +104,31 @@ def multicolor_gs_sweep(
     return u
 
 
+def multicolor_gs_sweep_masked(
+    Aop,
+    diag: jnp.ndarray,
+    group_mask: tuple[jnp.ndarray, ...],
+    b: jnp.ndarray,
+    u: jnp.ndarray,
+) -> jnp.ndarray:
+    """One multi-color GS sweep via full masked SpMVs.
+
+    Mathematically identical to multicolor_gs_sweep — each color's rows
+    see the residual of the already-updated u — but the residual comes
+    from ONE full SpMV (windowed Pallas kernel, ops/well.py) plus a row
+    mask instead of per-color dynamic row gathers, which XLA:TPU
+    serializes at ~6.8 ns/element. ncolors full kernel SpMVs per sweep
+    beat the gather path ~20x at mesh scale (probe_tap_ab.py).
+    """
+    for mask in group_mask:
+        r = b - any_spmv(Aop, u)
+        if u.ndim == 1:
+            u = u + mask * (r / diag)
+        else:
+            u = u + mask[:, None] * (r / diag[:, None])
+    return u
+
+
 def chebyshev_smooth(
     A: ELLMatrix,
     diag: jnp.ndarray,

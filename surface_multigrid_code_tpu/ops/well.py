@@ -52,6 +52,15 @@ class WellMatrix:
     lo:  int32 [nb*w*8,128]  lane of each element
     dat: float [nb*w*8,128]  values (0 padding)
     n_rows / n_cols: logical shape;  w, H, XR: static layout params
+
+    Tap-recentered mode (ob/ht set): each CSR tap slot k gets its OWN
+    window start ob[b*w+k] (window-relative, 8-aligned) with static span
+    ht[k]; hi is then relative to the TAP window, bounded by ht[k] instead
+    of the whole-block span H — the select chain shrinks from w*H to
+    sum_k ht[k] iterations.
+
+    ob:  int32 [nb*w] | None   per-(block,tap) window start (mult of 8)
+    ht:  tuple[int]   | None   per-tap static unroll bound (mult of 8)
     """
 
     rb: jnp.ndarray
@@ -64,6 +73,8 @@ class WellMatrix:
     w: int
     H: int
     XR: int
+    ob: jnp.ndarray | None = None
+    ht: tuple | None = None
 
     @property
     def nb(self) -> int:
@@ -74,13 +85,14 @@ class WellMatrix:
         return (self.n_rows, self.n_cols)
 
     def tree_flatten(self):
-        return (self.rb, self.hb, self.hi, self.lo, self.dat), (
-            self.n_rows, self.n_cols, self.w, self.H, self.XR)
+        return (self.rb, self.hb, self.hi, self.lo, self.dat, self.ob), (
+            self.n_rows, self.n_cols, self.w, self.H, self.XR, self.ht)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        rb, hb, hi, lo, dat = children
-        return cls(rb, hb, hi, lo, dat, *aux)
+        rb, hb, hi, lo, dat, ob = children
+        n_rows, n_cols, w, H, XR, ht = aux
+        return cls(rb, hb, hi, lo, dat, n_rows, n_cols, w, H, XR, ob, ht)
 
 
 def _host_pack(a, nb, w):
@@ -170,7 +182,122 @@ def well_repack(W: WellMatrix, ell_data: jnp.ndarray) -> WellMatrix:
     return WellMatrix(
         rb=W.rb, hb=W.hb, hi=W.hi, lo=W.lo, dat=dat,
         n_rows=W.n_rows, n_cols=W.n_cols, w=W.w, H=W.H, XR=W.XR,
+        ob=W.ob, ht=W.ht,
     )
+
+
+def build_well_tap(
+    A: sp.spmatrix, dtype=jnp.float32, cap: int = _UNROLL_CAP
+) -> tuple:
+    """Tap-recentered windowed layout(s) of a (pre-ordered!) matrix.
+
+    Each canonical-CSR tap slot k gets its own per-block window start
+    (8-aligned) and a static per-tap span ht[k]; with slot-sorted columns
+    the per-tap spans are far narrower than the whole-block span H, so
+    the kernel's select chain shrinks from sum_s w_s*H_s (band slices) to
+    sum_k ht[k] iterations (measured 0.5-0.7x, benchmarks/probes/
+    probe_tap_windows.py).
+
+    Slots keep their canonical identity (no cross-slot compaction), so a
+    value refresh stays a pure reshape (well_repack_tap) — unlike
+    build_well_sliced this layout serves BOTH static and value-refreshed
+    operators. Consecutive slots are split into groups only when
+    sum_k ht[k] would exceed the Mosaic unroll budget.
+    """
+    A = A.tocsr()
+    A.sum_duplicates()
+    A.sort_indices()
+    n, m = A.shape
+    counts = np.diff(A.indptr)
+    w = max(int(counts.max(initial=0)), 1)
+    nb = max(-(-n // B_ROWS), 1)
+    n_pad = nb * B_ROWS
+
+    idx = np.zeros((n_pad, w), dtype=np.int64)
+    struct = np.zeros((n_pad, w), dtype=bool)
+    val = np.zeros((n_pad, w), dtype=np.float64)
+    if A.nnz:
+        rows = np.repeat(np.arange(n), counts)
+        offs = np.arange(A.nnz) - np.repeat(A.indptr[:-1], counts)
+        idx[rows, offs] = A.indices
+        struct[rows, offs] = True
+        val[rows, offs] = A.data
+
+    sub = (idx // LANE).reshape(nb, B_ROWS, w)
+    st = struct.reshape(nb, B_ROWS, w)
+    big = np.int64(1) << 40
+    sub_min = np.where(st, sub, big).min(axis=1)          # [nb, w]
+    sub_max = np.where(st, sub, np.int64(-1)).max(axis=1)  # [nb, w]
+    empty = sub_max < 0
+
+    # whole-block window start (shared DMA base), like well_layout
+    blk_min = np.where(empty, big, sub_min).min(axis=1)   # [nb]
+    rb = np.where(blk_min == big, 0, blk_min // 8 * 8).astype(np.int64)
+    blk_max = sub_max.max(axis=1)                          # [nb]
+    hb = np.maximum(blk_max - rb + 1, 1).astype(np.int32)
+
+    # per-(block,tap) 8-aligned starts relative to rb, per-tap static spans
+    ob = np.where(empty, 0, sub_min // 8 * 8 - rb[:, None])
+    ob = np.maximum(ob, 0).astype(np.int64)               # [nb, w]
+    span = np.where(empty, 1, sub_max - (rb[:, None] + ob) + 1)
+    ht = (-(-np.maximum(span.max(axis=0), 1) // 8) * 8).astype(np.int64)
+
+    # element coordinates relative to the TAP window
+    base = (rb[:, None] + ob) * LANE                       # [nb, w]
+    loc = idx - np.repeat(base, B_ROWS, axis=0)            # [n_pad, w]
+    loc[~struct] = 0
+    hi = (loc // LANE).astype(np.int32)
+    lo = (loc % LANE).astype(np.int32)
+    ht_rows = np.repeat(ht[None, :], n_pad, axis=0)
+    assert hi.min() >= 0 and (hi < ht_rows).all(), (
+        hi.min(), hi.max(), ht.tolist())
+
+    # split consecutive slots into groups within the unroll budget
+    groups = []
+    k0 = 0
+    acc = 0
+    for k in range(w):
+        if acc and acc + int(ht[k]) > cap:
+            groups.append((k0, k))
+            k0, acc = k, 0
+        acc += int(ht[k])
+    groups.append((k0, w))
+
+    out = []
+    for g0, g1 in groups:
+        wg = g1 - g0
+        obg = ob[:, g0:g1]
+        htg = ht[g0:g1]
+        Hg = int(max(8, (obg + htg[None, :]).max()))
+        Hg = -(-Hg // 8) * 8
+        XR = -(-m // LANE)
+        XR = max(-(-XR // 8) * 8, int(rb.max()) + Hg)
+        out.append(WellMatrix(
+            rb=jnp.asarray(rb.astype(np.int32)),
+            hb=jnp.asarray(hb),
+            hi=jnp.asarray(_host_pack(hi[:, g0:g1], nb, wg)),
+            lo=jnp.asarray(_host_pack(lo[:, g0:g1], nb, wg)),
+            dat=jnp.asarray(
+                _host_pack(val[:, g0:g1], nb, wg), dtype=dtype),
+            n_rows=n, n_cols=m, w=wg, H=Hg, XR=XR,
+            ob=jnp.asarray(obg.reshape(-1).astype(np.int32)),
+            ht=tuple(int(h) for h in htg),
+        ))
+    return tuple(out)
+
+
+def well_repack_tap(Ws, ell_data: jnp.ndarray):
+    """Refresh the values of a build_well_tap output from a canonical
+    [n, w] ELL data array — pure slice/reshape on device, no gather.
+    Accepts a single WellMatrix or the tuple of consecutive tap groups."""
+    if isinstance(Ws, WellMatrix):
+        return well_repack(Ws, ell_data)
+    out = []
+    k0 = 0
+    for W in Ws:
+        out.append(well_repack(W, ell_data[:, k0:k0 + W.w]))
+        k0 += W.w
+    return tuple(out)
 
 
 def build_well(A: sp.spmatrix, dtype=jnp.float32) -> WellMatrix:
@@ -274,6 +401,70 @@ def well_spmv(W: WellMatrix, x: jnp.ndarray, unpadded: bool = True,
     x_pad = jnp.zeros((XR * LANE,), dtype=W.dat.dtype)
     x_pad = jax.lax.dynamic_update_slice(x_pad, x.astype(W.dat.dtype), (0,))
     x2d = x_pad.reshape(XR, LANE)
+
+    if W.ht is not None:
+        # tap-recentered mode: per-(block,tap) window starts (scalar
+        # prefetch), per-tap static spans ht[k] — the select chain runs
+        # sum_k ht[k] iterations instead of w*H. The window scratch is
+        # (H/8, 8, LANE) and per-tap starts are sliced on the LEADING
+        # (tile) dim only — all offsets are 8-aligned, so Mosaic lowers
+        # the dynamic start to address arithmetic, not sublane shuffles.
+        ht = W.ht
+        H8 = H // SUB
+        XR8 = XR // SUB
+        x3d = x2d.reshape(XR8, SUB, LANE)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((w * SUB, LANE), lambda b, rb, ob: (b, 0)),
+                pl.BlockSpec((w * SUB, LANE), lambda b, rb, ob: (b, 0)),
+                pl.BlockSpec((w * SUB, LANE), lambda b, rb, ob: (b, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((SUB, LANE), lambda b, rb, ob: (b, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((H8, SUB, LANE), W.dat.dtype),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        )
+
+        def tap_kernel(rb_ref, ob_ref, hi_ref, lo_ref, dat_ref, x_hbm,
+                       y_ref, win, sem):
+            b = pl.program_id(0)
+            rb0 = rb_ref[b] // SUB
+            cp = pltpu.make_async_copy(
+                x_hbm.at[pl.ds(rb0, H8), :, :], win, sem
+            )
+            cp.start()
+            cp.wait()
+            acc = jnp.zeros((SUB, LANE), dtype=y_ref.dtype)
+            for k in range(w):
+                o = ob_ref[b * w + k] // SUB
+                hik = hi_ref[k * SUB:(k + 1) * SUB, :]
+                lok = lo_ref[k * SUB:(k + 1) * SUB, :]
+                datk = dat_ref[k * SUB:(k + 1) * SUB, :]
+                sub = win[pl.ds(o, ht[k] // SUB), :, :]
+                g = jnp.zeros((SUB, LANE), dtype=x_hbm.dtype)
+                for h in range(ht[k]):
+                    row_b = jnp.broadcast_to(
+                        sub[h // SUB, h % SUB].reshape(1, LANE),
+                        (SUB, LANE),
+                    )
+                    t = jnp.take_along_axis(row_b, lok, axis=1)
+                    g = jnp.where(hik == h, t, g)
+                acc = acc + datk * g
+            y_ref[:, :] = acc
+
+        y2d = pl.pallas_call(
+            tap_kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((nb * SUB, LANE), W.dat.dtype),
+            interpret=interpret,
+        )(W.rb, W.ob, W.hi, W.lo, W.dat, x3d)
+        y = y2d.reshape(-1)
+        return y[: W.n_rows] if unpadded else y
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

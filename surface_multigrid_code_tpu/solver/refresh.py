@@ -184,19 +184,18 @@ class RefreshableMGSolver:
         self.P_ell = [ell_from_csr(P, dtype=dtype) for P in Ps]
         self.PT_ell = [ell_from_csr(P.T.tocsr(), dtype=dtype) for P in Ps]
         if self.well:
-            from surface_multigrid_code_tpu.ops.well import (
-                build_well_sliced,
-                well_layout,
-            )
+            from surface_multigrid_code_tpu.ops.well import build_well_tap
             from surface_multigrid_code_tpu.solver.galerkin import plan_pattern
 
-            # A levels need the unsliced layout (well_repack refreshes
-            # values with a pure reshape); P/PT are value-static -> sliced
+            # tap-recentered windows everywhere: tap-group splitting keeps
+            # slots in canonical order, so the A-level value refresh stays
+            # a pure reshape (well_repack_tap) while the select chain runs
+            # per-tap spans instead of whole-block spans
             pats = [A0] + [plan_pattern(pl_) for pl_ in self.plan.levels]
-            self.well_layouts = [well_layout(p, dtype=dtype) for p in pats]
-            self.P_well = [build_well_sliced(P, dtype=dtype) for P in Ps]
+            self.well_layouts = [build_well_tap(p, dtype=dtype) for p in pats]
+            self.P_well = [build_well_tap(P, dtype=dtype) for P in Ps]
             self.PT_well = [
-                build_well_sliced(P.T.tocsr(), dtype=dtype) for P in Ps
+                build_well_tap(P.T.tocsr(), dtype=dtype) for P in Ps
             ]
         self.coarsest_shift = float(coarsest_shift)
 
@@ -272,9 +271,11 @@ class RefreshableMGSolver:
             ell = ELLMatrix(indices=pl_.ell_indices, data=data, n_cols=n)
             Aw = Pw = PTw = None
             if self.well:
-                from surface_multigrid_code_tpu.ops.well import well_repack
+                from surface_multigrid_code_tpu.ops.well import (
+                    well_repack_tap,
+                )
 
-                Aw = well_repack(state["well_layouts"][lv], data)
+                Aw = well_repack_tap(state["well_layouts"][lv], data)
                 if lv > 0:
                     Pw = state["P_well"][lv - 1]
                     PTw = state["PT_well"][lv - 1]

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from surface_multigrid_code_tpu.config import SolveConfig, SmootherType
 from surface_multigrid_code_tpu.ops.sparse import ELLMatrix, ell_from_csr, ell_spmv
-from surface_multigrid_code_tpu.ops.well import any_spmv, build_well_sliced
+from surface_multigrid_code_tpu.ops.well import any_spmv, build_well_tap
 from surface_multigrid_code_tpu.ops.smoothers import (
     greedy_coloring,
     color_groups,
@@ -140,12 +140,13 @@ def build_device_hierarchy(
             )
         Aw = Pw = PTw = None
         if well:
-            # one-shot hierarchy: every operator is value-static, so all
-            # get the banded (sliced) fast layout
-            Aw = build_well_sliced(A, dtype=dtype)
+            # tap-recentered windows: per-tap spans instead of the
+            # whole-block span (measured 0.5-0.7x the band-sliced select
+            # cost, benchmarks/probes/probe_tap_windows.py)
+            Aw = build_well_tap(A, dtype=dtype)
             if lv > 0:
-                Pw = build_well_sliced(Ps[lv - 1], dtype=dtype)
-                PTw = build_well_sliced(Ps[lv - 1].T.tocsr(), dtype=dtype)
+                Pw = build_well_tap(Ps[lv - 1], dtype=dtype)
+                PTw = build_well_tap(Ps[lv - 1].T.tocsr(), dtype=dtype)
         levels.append(
             DeviceLevel(
                 A=ell, diag=diag, P=P, PT=PT, groups=groups,

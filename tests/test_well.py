@@ -71,6 +71,59 @@ def test_well_empty_rows(rng):
     assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-5
 
 
+def test_well_tap_layout_matches_scipy(rng):
+    """Tap-recentered layout: correctness incl. group splitting, empty
+    rows, rectangular shapes, and the pure-reshape value refresh."""
+    from surface_multigrid_code_tpu.ops.well import (
+        build_well_tap,
+        well_repack_tap,
+    )
+
+    cases = [
+        _banded(rng, n=2000, half_bw=30, per_row=5),
+        _banded(rng, n=3000, half_bw=900, per_row=7),  # forces group split
+    ]
+    n, m = 1500, 400
+    rows = np.repeat(np.arange(n), 3)
+    cols = np.clip(
+        (rows * m) // n + rng.integers(-8, 9, size=rows.size), 0, m - 1
+    )
+    cases.append(
+        sp.coo_matrix(
+            (rng.random(rows.size), (rows, cols)), shape=(n, m)
+        ).tocsr()
+    )
+    A = _banded(rng, n=700).tolil()
+    A[5] = 0
+    A[699] = 0
+    A = A.tocsr()
+    A.eliminate_zeros()
+    cases.append(A)
+
+    for i, A in enumerate(cases):
+        cap = 64 if i == 1 else 4096
+        Ws = build_well_tap(A, dtype=jnp.float32, cap=cap)
+        if i == 1:
+            assert len(Ws) > 1  # the tight cap must actually split
+        x = rng.standard_normal(A.shape[1]).astype(np.float32)
+        y = np.asarray(any_spmv(Ws, jnp.asarray(x)))
+        ref = A @ x
+        assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-5
+        # value refresh through the canonical ELL array
+        A2 = A.copy()
+        A2.sort_indices()
+        counts = np.diff(A2.indptr)
+        w = sum(W.w for W in Ws)
+        ell = np.zeros((A.shape[0], w), np.float32)
+        if A2.nnz:
+            r2 = np.repeat(np.arange(A.shape[0]), counts)
+            o2 = np.arange(A2.nnz) - np.repeat(A2.indptr[:-1], counts)
+            ell[r2, o2] = 2.0 * A2.data
+        Ws2 = well_repack_tap(Ws, jnp.asarray(ell))
+        y2 = np.asarray(any_spmv(Ws2, jnp.asarray(x)))
+        assert np.abs(y2 - 2 * ref).max() / np.abs(ref).max() < 1e-5
+
+
 def test_induced_orderings_are_permutations(rng):
     from surface_multigrid_code_tpu.ops.laplacian import cotmatrix, massmatrix
     from surface_multigrid_code_tpu.solver.hierarchy import mg_precompute
