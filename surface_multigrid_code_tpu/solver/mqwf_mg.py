@@ -162,14 +162,12 @@ def min_quad_with_fixed_mg_precompute(
     import jax
 
     if well is None:
-        well = (
-            cfg.smoother != SmootherType.MULTICOLOR_GS
-            and jax.default_backend() != "cpu"
-        )
+        well = jax.default_backend() != "cpu"
 
     As = [lvl.A for lvl in mg]
     Ps = [mg[lv].P for lv in range(1, len(mg))]
     perm = None
+    dev_colorings = colorings
     if well:
         from surface_multigrid_code_tpu.solver.ordering import (
             finest_rcm,
@@ -180,13 +178,21 @@ def min_quad_with_fixed_mg_precompute(
         perms = induced_orderings(finest_rcm(As[0]), Ps)
         As, Ps = permute_hierarchy(As, Ps, perms)
         perm = perms[0]
+        if colorings is not None:
+            # colorings were computed on the UNPERMUTED levels (and are
+            # cached across refreshes in that order); carry the same
+            # color assignment into permuted row order so the GS
+            # trajectory is permutation-invariant
+            dev_colorings = [
+                c[p] for c, p in zip(colorings, perms)
+            ]
 
     hier = build_device_hierarchy(
         As,
         Ps,
         cfg=cfg,
         dtype=dtype,
-        colorings=colorings,
+        colorings=dev_colorings,
         well=well,
     )
 

@@ -67,10 +67,7 @@ class RefreshableMGSolver:
         self.cfg = cfg or SolveConfig(smoother=SmootherType.JACOBI)
         self.dtype = dtype
         if well is None:
-            well = (
-                self.cfg.smoother != SmootherType.MULTICOLOR_GS
-                and jax.default_backend() != "cpu"
-            )
+            well = jax.default_backend() != "cpu"
         self.well = bool(well)
         A0 = A0_pattern.tocsr().copy()
         A0.sum_duplicates()
@@ -203,18 +200,28 @@ class RefreshableMGSolver:
         self._plans = [self.plan.lvl0, *self.plan.levels]
         self._groups = []
         self._group_scales = []
+        self._group_masks = []
         if self.cfg.smoother == SmootherType.MULTICOLOR_GS:
             from surface_multigrid_code_tpu.solver.galerkin import plan_pattern
 
             for pl_ in self._plans[:-1]:
                 # real nnz only — ELL padding would add spurious column-0
                 # edges and change the coloring (hence the GS trajectory)
-                color = greedy_coloring(plan_pattern(pl_))
+                pat = plan_pattern(pl_)
+                color = greedy_coloring(pat)
                 gs = color_groups(color)
                 self._groups.append(tuple(jnp.asarray(g) for g in gs))
                 self._group_scales.append(
                     tuple(jnp.asarray(s, dtype=dtype) for s in group_scales(gs))
                 )
+                if self.well:
+                    # full-length 0/1 masks for the windowed-kernel GS
+                    masks = []
+                    for g in gs:
+                        m = np.zeros(pat.shape[0], dtype=np.float64)
+                        m[g] = 1.0
+                        masks.append(jnp.asarray(m, dtype=dtype))
+                    self._group_masks.append(tuple(masks))
 
         # ALL device arrays travel as jit ARGUMENTS via this pytree —
         # closure-capturing them would embed multi-MB (balloon: multi-100MB)
@@ -225,6 +232,7 @@ class RefreshableMGSolver:
             "PT_ell": tuple(self.PT_ell),
             "groups": tuple(self._groups),
             "group_scales": tuple(self._group_scales),
+            "group_masks": tuple(self._group_masks),
         }
         if self.well:
             self._state.update(
@@ -298,6 +306,11 @@ class RefreshableMGSolver:
                         else ()
                     ),
                     lam_max=lam_max,
+                    group_mask=(
+                        state["group_masks"][lv]
+                        if state["group_masks"] and lv < L - 1
+                        else ()
+                    ),
                     Aw=Aw,
                     Pw=Pw,
                     PTw=PTw,

@@ -32,6 +32,7 @@ from surface_multigrid_code_tpu.ops.smoothers import (
     color_groups,
     group_scales,
     multicolor_gs_sweep,
+    multicolor_gs_sweep_masked,
     jacobi_sweep,
     chebyshev_smooth,
 )
@@ -52,6 +53,10 @@ class DeviceLevel:
     groups: tuple[jnp.ndarray, ...]
     group_scale: tuple[jnp.ndarray, ...]
     lam_max: jnp.ndarray | None = None
+    # Per-color full-length 0/1 row masks (multicolor GS on the windowed
+    # kernel: one full SpMV + mask per color instead of per-color row
+    # gathers, which XLA:TPU serializes; see multicolor_gs_sweep_masked).
+    group_mask: tuple = ()
     # Windowed-ELL (Pallas kernel) variants of A / P / PT; populated when
     # the hierarchy was built with well=True (RCM-class ordering applied).
     # When present, every SpMV in the V-cycle routes through the kernel.
@@ -62,13 +67,16 @@ class DeviceLevel:
     def tree_flatten(self):
         children = (
             self.A, self.diag, self.P, self.PT, self.groups, self.group_scale,
-            self.lam_max, self.Aw, self.Pw, self.PTw,
+            self.lam_max, self.Aw, self.Pw, self.PTw, self.group_mask,
         )
         return children, None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        (A, diag, P, PT, groups, group_scale, lam_max,
+         Aw, Pw, PTw, group_mask) = children
+        return cls(A, diag, P, PT, groups, group_scale, lam_max,
+                   Aw=Aw, Pw=Pw, PTw=PTw, group_mask=group_mask)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -114,6 +122,7 @@ def build_device_hierarchy(
         A = As[lv].tocsr()
         diag = jnp.asarray(A.diagonal(), dtype=dtype)
         ell = ell_from_csr(A, dtype=dtype)
+        group_mask = ()
         if cfg.smoother == SmootherType.MULTICOLOR_GS and lv < L - 1:
             color = (
                 colorings[lv]
@@ -125,6 +134,13 @@ def build_device_hierarchy(
             group_scale = tuple(
                 jnp.asarray(s, dtype=dtype) for s in group_scales(groups_np)
             )
+            if well:
+                masks = []
+                for g in groups_np:
+                    m = np.zeros(A.shape[0], dtype=bool)
+                    m[g] = True
+                    masks.append(jnp.asarray(m.astype(np.float64), dtype=dtype))
+                group_mask = tuple(masks)
         else:
             groups = ()
             group_scale = ()
@@ -151,7 +167,7 @@ def build_device_hierarchy(
             DeviceLevel(
                 A=ell, diag=diag, P=P, PT=PT, groups=groups,
                 group_scale=group_scale, lam_max=lam_max,
-                Aw=Aw, Pw=Pw, PTw=PTw,
+                group_mask=group_mask, Aw=Aw, Pw=Pw, PTw=PTw,
             )
         )
     # Coarse solve: the reference prefactorizes with SimplicialLDLT after a
@@ -196,9 +212,15 @@ def _relax(level: DeviceLevel, b, u, cfg: SolveConfig, n_iter: int):
         )
     for _ in range(n_iter):
         if cfg.smoother == SmootherType.MULTICOLOR_GS and level.groups:
-            u = multicolor_gs_sweep(
-                level.A, level.diag, level.groups, level.group_scale, b, u
-            )
+            if level.Aw is not None and level.group_mask:
+                u = multicolor_gs_sweep_masked(
+                    level.Aw, level.diag, level.group_mask, b, u
+                )
+            else:
+                u = multicolor_gs_sweep(
+                    level.A, level.diag, level.groups, level.group_scale,
+                    b, u,
+                )
         else:
             u = jacobi_sweep(Aop, level.diag, b, u, weight=cfg.jacobi_weight)
     return u

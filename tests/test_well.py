@@ -129,7 +129,7 @@ def test_induced_orderings_are_permutations(rng):
     from surface_multigrid_code_tpu.solver.hierarchy import mg_precompute
     from surface_multigrid_code_tpu.utils.synthetic import icosphere
 
-    V, F = icosphere(3)
+    V, F = icosphere(4)
     mg = mg_precompute(V, F, verbose=False)
     A = (massmatrix(V, F) - 0.01 * cotmatrix(V, F)).tocsr()
     As = [A]
@@ -162,7 +162,7 @@ def test_well_end_to_end_solve_matches_ell(rng):
     )
     from surface_multigrid_code_tpu.utils.synthetic import icosphere
 
-    V, F = icosphere(3)
+    V, F = icosphere(4)
     mg = mg_precompute(V, F, verbose=False)
     mg2 = copy.deepcopy(mg)
     A = (massmatrix(V, F) - 0.01 * cotmatrix(V, F)).tocsr()
@@ -191,6 +191,49 @@ def test_well_end_to_end_solve_matches_ell(rng):
     assert np.abs(z1 - z0).max() / np.abs(z0).max() < 1e-4
 
 
+def test_well_gs_solve_matches_ell(rng):
+    """Multicolor GS through the windowed kernel (masked full SpMVs) must
+    reproduce the gather-path GS trajectory: same colors per logical row
+    (permuted with the hierarchy), same per-color residual math."""
+    import copy
+
+    from surface_multigrid_code_tpu.config import SolveConfig, SmootherType
+    from surface_multigrid_code_tpu.ops.laplacian import cotmatrix, massmatrix
+    from surface_multigrid_code_tpu.solver.hierarchy import mg_precompute
+    from surface_multigrid_code_tpu.solver.mqwf_mg import (
+        min_quad_with_fixed_mg_precompute,
+        min_quad_with_fixed_mg_solve,
+    )
+    from surface_multigrid_code_tpu.utils.synthetic import icosphere
+
+    V, F = icosphere(4)
+    mg = mg_precompute(V, F, verbose=False)
+    mg2 = copy.deepcopy(mg)
+    A = (massmatrix(V, F) - 0.01 * cotmatrix(V, F)).tocsr()
+    B = np.asarray(massmatrix(V, F) @ V[:, 0])
+    cfg = SolveConfig(smoother=SmootherType.MULTICOLOR_GS)
+    d0 = min_quad_with_fixed_mg_precompute(
+        A, None, mg, cfg=cfg, dtype=jnp.float32, well=False
+    )
+    d1 = min_quad_with_fixed_mg_precompute(
+        A, None, mg2, cfg=cfg, dtype=jnp.float32, well=True
+    )
+    assert d1.hier.levels[0].group_mask  # masked path is active
+    z0, r0, ok0 = min_quad_with_fixed_mg_solve(
+        d0, B, tolerance=1e-6, max_iter=10, refine=False
+    )
+    z1, r1, ok1 = min_quad_with_fixed_mg_solve(
+        d1, B, tolerance=1e-6, max_iter=10, refine=False
+    )
+    assert ok0 and ok1 and len(r0) == len(r1)
+    floor = 1e-6 * r0[0]
+    cmp = [(a, b) for a, b in zip(r1, r0) if b > floor]
+    if cmp:
+        a, b = map(np.asarray, zip(*cmp))
+        np.testing.assert_allclose(a, b, rtol=5e-3)
+    assert np.abs(z1 - z0).max() / np.abs(z0).max() < 1e-4
+
+
 def test_refresh_solver_well_matches_ell(rng):
     from surface_multigrid_code_tpu.config import SolveConfig, SmootherType
     from surface_multigrid_code_tpu.ops.laplacian import cotmatrix, massmatrix
@@ -198,7 +241,7 @@ def test_refresh_solver_well_matches_ell(rng):
     from surface_multigrid_code_tpu.solver.refresh import RefreshableMGSolver
     from surface_multigrid_code_tpu.utils.synthetic import icosphere
 
-    V, F = icosphere(3)
+    V, F = icosphere(4)
     mg = mg_precompute(V, F, verbose=False)
     A = (massmatrix(V, F) - 0.01 * cotmatrix(V, F)).tocsr()
     A.sum_duplicates()
@@ -235,7 +278,7 @@ def test_mcf_stepper_well_matches_ell(rng):
     from surface_multigrid_code_tpu.utils.mesh import normalize_unit_area
     from surface_multigrid_code_tpu.utils.synthetic import icosphere
 
-    V, F = icosphere(3)
+    V, F = icosphere(4)
     V = normalize_unit_area(V, F)
     mg = mg_precompute(V, F, verbose=False)
     cfg = SolveConfig(smoother=SmootherType.JACOBI)
