@@ -61,6 +61,18 @@ class WellMatrix:
 
     ob:  int32 [nb*w] | None   per-(block,tap) window start (mult of 8)
     ht:  tuple[int]   | None   per-tap static unroll bound (mult of 8)
+
+    Diagonal (DIA) mode (q set, implies ob/ht set): the operator's band
+    advances ~q window-sublanes per output sublane (q = qn/qd, e.g. 1 for
+    square A, 4 for a 4:1 restriction PT, 1/4 for P). Candidates are
+    diagonal offsets d = hi - floor(q*s): hi stores d per element, ht[k]
+    is the per-tap candidate count, ob[b*w+k] is the per-(block,tap) load
+    offset in TILES within the window, rb/XR live in an x space padded by
+    xpad leading tiles. Each candidate reads a STATIC q-sloped 8-row
+    pattern of the loaded window — span/8-ish iterations instead of span.
+
+    q:    (qn, qd) | None      diagonal slope (static)
+    xpad: int                  leading zero tiles in the padded x space
     """
 
     rb: jnp.ndarray
@@ -75,6 +87,8 @@ class WellMatrix:
     XR: int
     ob: jnp.ndarray | None = None
     ht: tuple | None = None
+    q: tuple | None = None
+    xpad: int = 0
 
     @property
     def nb(self) -> int:
@@ -86,13 +100,15 @@ class WellMatrix:
 
     def tree_flatten(self):
         return (self.rb, self.hb, self.hi, self.lo, self.dat, self.ob), (
-            self.n_rows, self.n_cols, self.w, self.H, self.XR, self.ht)
+            self.n_rows, self.n_cols, self.w, self.H, self.XR, self.ht,
+            self.q, self.xpad)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         rb, hb, hi, lo, dat, ob = children
-        n_rows, n_cols, w, H, XR, ht = aux
-        return cls(rb, hb, hi, lo, dat, n_rows, n_cols, w, H, XR, ob, ht)
+        n_rows, n_cols, w, H, XR, ht, q, xpad = aux
+        return cls(rb, hb, hi, lo, dat, n_rows, n_cols, w, H, XR, ob, ht,
+                   q, xpad)
 
 
 def _host_pack(a, nb, w):
@@ -182,8 +198,180 @@ def well_repack(W: WellMatrix, ell_data: jnp.ndarray) -> WellMatrix:
     return WellMatrix(
         rb=W.rb, hb=W.hb, hi=W.hi, lo=W.lo, dat=dat,
         n_rows=W.n_rows, n_cols=W.n_cols, w=W.w, H=W.H, XR=W.XR,
-        ob=W.ob, ht=W.ht,
+        ob=W.ob, ht=W.ht, q=W.q, xpad=W.xpad,
     )
+
+
+def _stage_ell(A: sp.spmatrix):
+    """Canonical-CSR ELL staging: (idx, struct, val) as [nb*1024, w]."""
+    A = A.tocsr()
+    A.sum_duplicates()
+    A.sort_indices()
+    n, m = A.shape
+    counts = np.diff(A.indptr)
+    w = max(int(counts.max(initial=0)), 1)
+    nb = max(-(-n // B_ROWS), 1)
+    n_pad = nb * B_ROWS
+    idx = np.zeros((n_pad, w), dtype=np.int64)
+    struct = np.zeros((n_pad, w), dtype=bool)
+    val = np.zeros((n_pad, w), dtype=np.float64)
+    if A.nnz:
+        rows = np.repeat(np.arange(n), counts)
+        offs = np.arange(A.nnz) - np.repeat(A.indptr[:-1], counts)
+        idx[rows, offs] = A.indices
+        struct[rows, offs] = True
+        val[rows, offs] = A.data
+    return idx, struct, val, n, m, w, nb
+
+
+def dia_costs(A: sp.spmatrix, q: tuple) -> np.ndarray | None:
+    """Per-tap candidate counts D_k under diagonal slope q=(qn, qd), or
+    None for an empty matrix. sum(D) is the kernel's select-chain length
+    (the quantity build_well_auto minimizes across slopes)."""
+    idx, struct, val, n, m, w, nb = _stage_ell(A)
+    qn, qd = q
+    s_of = (np.arange(B_ROWS) // LANE)
+    qf = (qn * s_of) // qd                                  # [1024]
+    sub = (idx // LANE).reshape(nb, B_ROWS, w)
+    st = struct.reshape(nb, B_ROWS, w)
+    di = sub - qf[None, :, None]
+    big = np.int64(1) << 40
+    dmin = np.where(st, di, big).min(axis=1)                # [nb, w]
+    dmax = np.where(st, di, -big).max(axis=1)
+    empty = ~st.any(axis=1)
+    dmin = np.where(empty, 0, dmin)
+    dmax = np.where(empty, 0, dmax)
+    ot = np.floor_divide(dmin, 8)
+    return (dmax - 8 * ot + 1).max(axis=0).astype(np.int64)  # D_k [w]
+
+
+def build_well_dia(
+    A: sp.spmatrix, dtype=jnp.float32, cap: int = _UNROLL_CAP,
+    q: tuple = (1, 1),
+) -> tuple:
+    """Diagonal-mode windowed layout(s) of a (pre-ordered!) matrix.
+
+    Element (s, l) of an output tile is row 1024b+128s+l; for a banded
+    operator with slope q = n_cols/n_rows its column's window sublane is
+    ~ floor(q*s) + d with d nearly constant, so selecting over diagonal
+    offsets d needs ~span/8 iterations instead of span (measured ~0.5x
+    the tap-mode select cost, benchmarks/probes/probe_dia_windows.py).
+    Slots keep canonical identity (well_repack_tap works unchanged)."""
+    idx, struct, val, n, m, w, nb = _stage_ell(A)
+    qn, qd = q
+    if qd == 1 and qn != 1:
+        raise ValueError(
+            f"integer slope {qn} needs strided sublane slices, which this "
+            "Mosaic version does not support; use tap mode")
+    s_of = (np.arange(B_ROWS) // LANE)
+    qf = (qn * s_of) // qd
+    sub = (idx // LANE).reshape(nb, B_ROWS, w)
+    st = struct.reshape(nb, B_ROWS, w)
+    di3 = sub - qf[None, :, None]
+    big = np.int64(1) << 40
+    dmin = np.where(st, di3, big).min(axis=1)               # [nb, w]
+    dmax = np.where(st, di3, -big).max(axis=1)
+    empty = ~st.any(axis=1)
+    dmin = np.where(empty, 0, dmin)
+    dmax = np.where(empty, 0, dmax)
+
+    ot_abs = np.floor_divide(dmin, 8)                       # tiles, may be <0
+    xpad = int(max(0, -ot_abs.min()))
+    pt = ot_abs + xpad                                      # >= 0
+    D = (dmax - 8 * ot_abs + 1).max(axis=0).astype(np.int64)  # [w]
+    qf7 = int(qf[-1])
+    T = (D - 1 + qf7) // 8 + 1                              # tiles/tap [w]
+
+    # per-block window (tiles, padded space)
+    wt = np.where(empty.all(axis=1), 0, np.where(empty, big, pt).min(axis=1))
+    pt = np.where(empty, wt[:, None], pt)
+    ob = (pt - wt[:, None]).astype(np.int64)                # [nb, w]
+    H8 = int((ob + T[None, :]).max())
+    rb = (wt * 8).astype(np.int32)
+
+    # per-element candidate index dd = di - 8*ot_abs
+    dd = di3 - (8 * ot_abs)[:, None, :]
+    dd = np.where(st, dd, 0).reshape(nb * B_ROWS, w)
+    lo = np.where(struct, idx % LANE, 0).astype(np.int32)
+    ddr = np.repeat(D[None, :], nb * B_ROWS, axis=0)
+    assert dd.min() >= 0 and (dd < ddr).all(), (dd.min(), dd.max(), D)
+    dd = dd.astype(np.int32)
+
+    XR8 = max(xpad + (-(-(-(-m // LANE)) // 8)), int((wt + H8).max()))
+    # split into consecutive slot groups within the unroll budget
+    groups = []
+    k0, acc = 0, 0
+    for k in range(w):
+        if acc and acc + int(D[k]) > cap:
+            groups.append((k0, k))
+            k0, acc = k, 0
+        acc += int(D[k])
+    groups.append((k0, w))
+
+    out = []
+    for g0, g1 in groups:
+        wg = g1 - g0
+        obg = ob[:, g0:g1]
+        Tg = T[g0:g1]
+        H8g = int(max(1, (obg + Tg[None, :]).max()))
+        XR8g = max(XR8, int((wt + H8g).max()))
+        out.append(WellMatrix(
+            rb=jnp.asarray(rb),
+            hb=jnp.asarray(np.maximum((dmax - dmin + 1).max(axis=1), 1)
+                           .astype(np.int32)),
+            hi=jnp.asarray(_host_pack(dd[:, g0:g1], nb, wg)),
+            lo=jnp.asarray(_host_pack(lo[:, g0:g1], nb, wg)),
+            dat=jnp.asarray(_host_pack(val[:, g0:g1], nb, wg), dtype=dtype),
+            n_rows=n, n_cols=m, w=wg, H=H8g * 8, XR=XR8g * 8,
+            ob=jnp.asarray(obg.reshape(-1).astype(np.int32)),
+            ht=tuple(int(d) for d in D[g0:g1]),
+            q=(int(qn), int(qd)),
+            xpad=xpad,
+        ))
+    return tuple(out)
+
+
+# slope candidates tried by build_well_auto, with per-candidate op-cost
+# weights relative to tap mode (integer slopes: one strided slice ~ one
+# broadcast; fractional slopes build the row pattern from ceil(8/qd)
+# broadcasts + a concat)
+# integer slopes > 1 need strided sublane slices, which this Mosaic
+# version rejects ('extract_strided_slice strides confined to [1,2)') —
+# steep operators (restriction PTs) stay on tap mode until then
+_AUTO_QS = (
+    ((1, 1), 1.0),
+    ((1, 2), 2.3),
+    ((1, 4), 1.7),
+)
+
+
+def build_well_auto(
+    A: sp.spmatrix, dtype=jnp.float32, cap: int = _UNROLL_CAP,
+) -> tuple:
+    """Pick the cheapest windowed layout for a (pre-ordered!) matrix:
+    tap-recentered rows vs diagonal candidates across slopes, by
+    weighted select-chain length. DIA must predict <0.9x tap to win
+    (layout-choice hysteresis; both share canonical slot order, so
+    well_repack_tap works on either)."""
+    idx, struct, val, n, m, w, nb = _stage_ell(A)
+    sub = (idx // LANE).reshape(nb, B_ROWS, w)
+    st = struct.reshape(nb, B_ROWS, w)
+    big = np.int64(1) << 40
+    sub_min = np.where(st, sub, big).min(axis=1)
+    sub_max = np.where(st, sub, np.int64(-1)).max(axis=1)
+    e2 = sub_max < 0
+    start = np.where(e2, 0, sub_min // 8 * 8)
+    span = np.where(e2, 1, sub_max - start + 1)
+    cost_tap = float(sum(-(-int(s) // 8) * 8 for s in span.max(axis=0)))
+
+    best_q, best_cost = None, cost_tap
+    for q, wgt in _AUTO_QS:
+        c = wgt * float(dia_costs(A, q).sum())
+        if c < best_cost:
+            best_q, best_cost = q, c
+    if best_q is None or best_cost >= 0.9 * cost_tap:
+        return build_well_tap(A, dtype=dtype, cap=cap)
+    return build_well_dia(A, dtype=dtype, cap=cap, q=best_q)
 
 
 def build_well_tap(
@@ -399,8 +587,86 @@ def well_spmv(W: WellMatrix, x: jnp.ndarray, unpadded: bool = True,
 
     nb, w, H, XR = W.nb, W.w, W.H, W.XR
     x_pad = jnp.zeros((XR * LANE,), dtype=W.dat.dtype)
-    x_pad = jax.lax.dynamic_update_slice(x_pad, x.astype(W.dat.dtype), (0,))
+    x_pad = jax.lax.dynamic_update_slice(
+        x_pad, x.astype(W.dat.dtype), (W.xpad * B_ROWS,)
+    )
     x2d = x_pad.reshape(XR, LANE)
+
+    if W.q is not None:
+        # diagonal mode: candidates are diagonal offsets d; sublane s of
+        # an output tile reads window row floor(q*s) + d — a STATIC
+        # (strided / repeated) 8-row pattern of the loaded window per
+        # candidate, so the chain runs ~span/8 iterations instead of span.
+        qn, qd = W.q
+        D = W.ht
+        qf7 = (qn * (SUB - 1)) // qd
+        T = [(D[k] - 1 + qf7) // 8 + 1 for k in range(w)]
+        H8 = H // SUB
+        XR8 = XR // SUB
+        x3d = x2d.reshape(XR8, SUB, LANE)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((w * SUB, LANE), lambda b, rb, ob: (b, 0)),
+                pl.BlockSpec((w * SUB, LANE), lambda b, rb, ob: (b, 0)),
+                pl.BlockSpec((w * SUB, LANE), lambda b, rb, ob: (b, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((SUB, LANE), lambda b, rb, ob: (b, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((H8, SUB, LANE), W.dat.dtype),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        )
+
+        def dia_kernel(rb_ref, ob_ref, hi_ref, lo_ref, dat_ref, x_hbm,
+                       y_ref, win, sem):
+            b = pl.program_id(0)
+            rb0t = rb_ref[b] // SUB
+            cp = pltpu.make_async_copy(
+                x_hbm.at[pl.ds(rb0t, H8), :, :], win, sem
+            )
+            cp.start()
+            cp.wait()
+            acc = jnp.zeros((SUB, LANE), dtype=y_ref.dtype)
+            for k in range(w):
+                ot = ob_ref[b * w + k]
+                ddk = hi_ref[k * SUB:(k + 1) * SUB, :]
+                lok = lo_ref[k * SUB:(k + 1) * SUB, :]
+                datk = dat_ref[k * SUB:(k + 1) * SUB, :]
+                V2 = win[pl.ds(ot, T[k]), :, :].reshape(T[k] * SUB, LANE)
+                g = jnp.zeros((SUB, LANE), dtype=x_hbm.dtype)
+                for d in range(D[k]):
+                    if qd == 1:
+                        tile_d = jax.lax.slice(
+                            V2, (d, 0), (d + (SUB - 1) * qn + 1, LANE),
+                            (qn, 1),
+                        )
+                    else:
+                        parts = []
+                        j, srow = 0, 0
+                        while srow < SUB:
+                            cnt = min(qd, SUB - srow)
+                            parts.append(jnp.broadcast_to(
+                                V2[d + j:d + j + 1, :], (cnt, LANE)))
+                            j += 1
+                            srow += cnt
+                        tile_d = jnp.concatenate(parts, axis=0)
+                    t = jnp.take_along_axis(tile_d, lok, axis=1)
+                    g = jnp.where(ddk == d, t, g)
+                acc = acc + datk * g
+            y_ref[:, :] = acc
+
+        y2d = pl.pallas_call(
+            dia_kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((nb * SUB, LANE), W.dat.dtype),
+            interpret=interpret,
+        )(W.rb, W.ob, W.hi, W.lo, W.dat, x3d)
+        y = y2d.reshape(-1)
+        return y[: W.n_rows] if unpadded else y
 
     if W.ht is not None:
         # tap-recentered mode: per-(block,tap) window starts (scalar

@@ -181,7 +181,7 @@ class RefreshableMGSolver:
         self.P_ell = [ell_from_csr(P, dtype=dtype) for P in Ps]
         self.PT_ell = [ell_from_csr(P.T.tocsr(), dtype=dtype) for P in Ps]
         if self.well:
-            from surface_multigrid_code_tpu.ops.well import build_well_tap
+            from surface_multigrid_code_tpu.ops.well import build_well_auto
             from surface_multigrid_code_tpu.solver.galerkin import plan_pattern
 
             # tap-recentered windows everywhere: tap-group splitting keeps
@@ -189,10 +189,12 @@ class RefreshableMGSolver:
             # a pure reshape (well_repack_tap) while the select chain runs
             # per-tap spans instead of whole-block spans
             pats = [A0] + [plan_pattern(pl_) for pl_ in self.plan.levels]
-            self.well_layouts = [build_well_tap(p, dtype=dtype) for p in pats]
-            self.P_well = [build_well_tap(P, dtype=dtype) for P in Ps]
+            self.well_layouts = [
+                build_well_auto(p, dtype=dtype) for p in pats
+            ]
+            self.P_well = [build_well_auto(P, dtype=dtype) for P in Ps]
             self.PT_well = [
-                build_well_tap(P.T.tocsr(), dtype=dtype) for P in Ps
+                build_well_auto(P.T.tocsr(), dtype=dtype) for P in Ps
             ]
         self.coarsest_shift = float(coarsest_shift)
 

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from surface_multigrid_code_tpu.config import SolveConfig, SmootherType
 from surface_multigrid_code_tpu.ops.sparse import ELLMatrix, ell_from_csr, ell_spmv
-from surface_multigrid_code_tpu.ops.well import any_spmv, build_well_tap
+from surface_multigrid_code_tpu.ops.well import any_spmv, build_well_auto
 from surface_multigrid_code_tpu.ops.smoothers import (
     greedy_coloring,
     color_groups,
@@ -156,13 +156,13 @@ def build_device_hierarchy(
             )
         Aw = Pw = PTw = None
         if well:
-            # tap-recentered windows: per-tap spans instead of the
-            # whole-block span (measured 0.5-0.7x the band-sliced select
-            # cost, benchmarks/probes/probe_tap_windows.py)
-            Aw = build_well_tap(A, dtype=dtype)
+            # cheapest windowed layout per operator: tap-recentered
+            # rows or diagonal candidates (probe_tap_windows.py /
+            # probe_dia_windows.py; A/B'd on TPU in probe_dia_ab.py)
+            Aw = build_well_auto(A, dtype=dtype)
             if lv > 0:
-                Pw = build_well_tap(Ps[lv - 1], dtype=dtype)
-                PTw = build_well_tap(Ps[lv - 1].T.tocsr(), dtype=dtype)
+                Pw = build_well_auto(Ps[lv - 1], dtype=dtype)
+                PTw = build_well_auto(Ps[lv - 1].T.tocsr(), dtype=dtype)
         levels.append(
             DeviceLevel(
                 A=ell, diag=diag, P=P, PT=PT, groups=groups,
