@@ -9,15 +9,19 @@ Jacobson; SIGGRAPH 2021), re-designed TPU-first:
   flattened collapse logs).
 - Device runtime (online): jitted Galerkin multigrid V-cycles with
   multi-color Gauss-Seidel / weighted-Jacobi smoothing, a windowed-ELL
-  Pallas SpMV kernel on the Jacobi/Chebyshev hot path (ops/well.py;
+  Pallas SpMV kernel on the single-device smoother hot path (ops/well.py;
   RCM row blocks + in-kernel lane gathers — see DESIGN.md "The
-  windowed-ELL Pallas kernel" for measurements; the multicolor-GS and
-  sharded paths use the XLA ELL gather), dense coarse solves, and
-  shard_map-based multi-chip row partitioning.
+  windowed-ELL Pallas kernel" for measurements; the sharded paths use
+  the XLA ELL gather), dense coarse solves, and shard_map-based
+  multi-chip row partitioning.
 
 Reference behavior is documented against HTDerekLiu/surface_multigrid_code
 (file:line cites in docstrings); the implementation is new.
 """
+
+from surface_multigrid_code_tpu.utils.hostmem import pool_host_allocations
+
+pool_host_allocations()
 
 from surface_multigrid_code_tpu.config import (
     MGConfig,

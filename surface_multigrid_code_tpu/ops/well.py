@@ -224,11 +224,11 @@ def _stage_ell(A: sp.spmatrix):
     return idx, struct, val, n, m, w, nb
 
 
-def dia_costs(A: sp.spmatrix, q: tuple) -> np.ndarray | None:
-    """Per-tap candidate counts D_k under diagonal slope q=(qn, qd), or
-    None for an empty matrix. sum(D) is the kernel's select-chain length
-    (the quantity build_well_auto minimizes across slopes)."""
-    idx, struct, val, n, m, w, nb = _stage_ell(A)
+def dia_costs(A: sp.spmatrix, q: tuple, staged=None) -> np.ndarray:
+    """Per-tap candidate counts D_k under diagonal slope q=(qn, qd).
+    sum(D) is the kernel's select-chain length (the quantity
+    build_well_auto minimizes across slopes)."""
+    idx, struct, val, n, m, w, nb = staged if staged else _stage_ell(A)
     qn, qd = q
     s_of = (np.arange(B_ROWS) // LANE)
     qf = (qn * s_of) // qd                                  # [1024]
@@ -247,7 +247,7 @@ def dia_costs(A: sp.spmatrix, q: tuple) -> np.ndarray | None:
 
 def build_well_dia(
     A: sp.spmatrix, dtype=jnp.float32, cap: int = _UNROLL_CAP,
-    q: tuple = (1, 1),
+    q: tuple = (1, 1), staged=None,
 ) -> tuple:
     """Diagonal-mode windowed layout(s) of a (pre-ordered!) matrix.
 
@@ -257,7 +257,7 @@ def build_well_dia(
     offsets d needs ~span/8 iterations instead of span (measured ~0.5x
     the tap-mode select cost, benchmarks/probes/probe_dia_windows.py).
     Slots keep canonical identity (well_repack_tap works unchanged)."""
-    idx, struct, val, n, m, w, nb = _stage_ell(A)
+    idx, struct, val, n, m, w, nb = staged if staged else _stage_ell(A)
     qn, qd = q
     if qd == 1 and qn != 1:
         raise ValueError(
@@ -297,7 +297,8 @@ def build_well_dia(
     assert dd.min() >= 0 and (dd < ddr).all(), (dd.min(), dd.max(), D)
     dd = dd.astype(np.int32)
 
-    XR8 = max(xpad + (-(-(-(-m // LANE)) // 8)), int((wt + H8).max()))
+    m_tiles = -(-(-(-m // LANE)) // 8)       # ceil(ceil(m/128)/8)
+    XR8 = max(xpad + m_tiles, int((wt + H8).max()))
     # split into consecutive slot groups within the unroll budget
     groups = []
     k0, acc = 0, 0
@@ -332,12 +333,11 @@ def build_well_dia(
 
 
 # slope candidates tried by build_well_auto, with per-candidate op-cost
-# weights relative to tap mode (integer slopes: one strided slice ~ one
-# broadcast; fractional slopes build the row pattern from ceil(8/qd)
-# broadcasts + a concat)
-# integer slopes > 1 need strided sublane slices, which this Mosaic
-# version rejects ('extract_strided_slice strides confined to [1,2)') —
-# steep operators (restriction PTs) stay on tap mode until then
+# weights relative to tap mode (fractional slopes build the row pattern
+# from ceil(8/qd) broadcasts + a concat). Integer slopes > 1 need strided
+# sublane slices, which this Mosaic version rejects
+# ('extract_strided_slice strides confined to [1,2)') — steep operators
+# (restriction PTs) stay on tap mode until then.
 _AUTO_QS = (
     ((1, 1), 1.0),
     ((1, 2), 2.3),
@@ -352,8 +352,10 @@ def build_well_auto(
     tap-recentered rows vs diagonal candidates across slopes, by
     weighted select-chain length. DIA must predict <0.9x tap to win
     (layout-choice hysteresis; both share canonical slot order, so
-    well_repack_tap works on either)."""
-    idx, struct, val, n, m, w, nb = _stage_ell(A)
+    well_repack_tap works on either). Stages the operator to ELL form
+    once and shares it across all candidate evaluations + the build."""
+    staged = _stage_ell(A)
+    idx, struct, val, n, m, w, nb = staged
     sub = (idx // LANE).reshape(nb, B_ROWS, w)
     st = struct.reshape(nb, B_ROWS, w)
     big = np.int64(1) << 40
@@ -366,16 +368,16 @@ def build_well_auto(
 
     best_q, best_cost = None, cost_tap
     for q, wgt in _AUTO_QS:
-        c = wgt * float(dia_costs(A, q).sum())
+        c = wgt * float(dia_costs(A, q, staged=staged).sum())
         if c < best_cost:
             best_q, best_cost = q, c
     if best_q is None or best_cost >= 0.9 * cost_tap:
-        return build_well_tap(A, dtype=dtype, cap=cap)
-    return build_well_dia(A, dtype=dtype, cap=cap, q=best_q)
+        return build_well_tap(A, dtype=dtype, cap=cap, staged=staged)
+    return build_well_dia(A, dtype=dtype, cap=cap, q=best_q, staged=staged)
 
 
 def build_well_tap(
-    A: sp.spmatrix, dtype=jnp.float32, cap: int = _UNROLL_CAP
+    A: sp.spmatrix, dtype=jnp.float32, cap: int = _UNROLL_CAP, staged=None
 ) -> tuple:
     """Tap-recentered windowed layout(s) of a (pre-ordered!) matrix.
 
@@ -392,24 +394,8 @@ def build_well_tap(
     operators. Consecutive slots are split into groups only when
     sum_k ht[k] would exceed the Mosaic unroll budget.
     """
-    A = A.tocsr()
-    A.sum_duplicates()
-    A.sort_indices()
-    n, m = A.shape
-    counts = np.diff(A.indptr)
-    w = max(int(counts.max(initial=0)), 1)
-    nb = max(-(-n // B_ROWS), 1)
+    idx, struct, val, n, m, w, nb = staged if staged else _stage_ell(A)
     n_pad = nb * B_ROWS
-
-    idx = np.zeros((n_pad, w), dtype=np.int64)
-    struct = np.zeros((n_pad, w), dtype=bool)
-    val = np.zeros((n_pad, w), dtype=np.float64)
-    if A.nnz:
-        rows = np.repeat(np.arange(n), counts)
-        offs = np.arange(A.nnz) - np.repeat(A.indptr[:-1], counts)
-        idx[rows, offs] = A.indices
-        struct[rows, offs] = True
-        val[rows, offs] = A.data
 
     sub = (idx // LANE).reshape(nb, B_ROWS, w)
     st = struct.reshape(nb, B_ROWS, w)
