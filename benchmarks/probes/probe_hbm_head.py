@@ -64,22 +64,32 @@ def main():
     rng = np.random.default_rng(0)
     b = jnp.asarray(rng.standard_normal(n).astype(np.float32))
 
-    def cycles(K):
+    # ONE compiled program with a TRACED cycle count (fori_loop lowers a
+    # traced bound to a while loop) — giant unrolled Mosaic kernel bodies
+    # at this scale compile for 10-20+ min, so K=8/K=24 must share it.
+    # hier/b MUST be jit arguments: closure capture embeds them as HLO
+    # constants and the axon remote-compile request blows its body-size
+    # limit (HTTP 413) on the ~500 MB of operator data.
+    def run(h, bb, u0, K):
         def body(i, u):
-            u = vcycle(hier, b, u, cfg)
+            u = vcycle(h, bb, u, cfg)
             return u / jnp.sqrt(jnp.mean(u * u) + 1e-30)
-        return jax.jit(lambda u0: jnp.sum(
-            jax.lax.fori_loop(0, K, body, u0)))
+        return jnp.sum(jax.lax.fori_loop(0, K, body, u0))
+
+    f = jax.jit(run)
 
     u0 = jnp.zeros_like(b)
+    t0 = time.time()
+    chk = float(f(hier, b, u0, jnp.int32(1)))
+    print(f"compile+first cycle: {time.time()-t0:.1f}s (chk {chk:.4e})",
+          flush=True)
     ts = {}
     for K in (8, 24):
-        f = cycles(K)
-        chk = float(f(u0))
+        chk = float(f(hier, b, u0, jnp.int32(K)))
         best = float("inf")
         for _ in range(3):
             t0 = time.time()
-            chk = float(f(u0))
+            chk = float(f(hier, b, u0, jnp.int32(K)))
             best = min(best, time.time() - t0)
         ts[K] = best
         print(f"K={K}: best {best:.3f}s (chk {chk:.4e})", flush=True)

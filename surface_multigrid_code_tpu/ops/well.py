@@ -560,10 +560,86 @@ def any_spmv(A, x: jnp.ndarray) -> jnp.ndarray:
     return ell_spmv(A, x)
 
 
-@partial(jax.jit, static_argnames=("unpadded", "interpret"))
+def _as_tiles(v: jnp.ndarray, nb: int) -> jnp.ndarray:
+    """Flat [n] (n <= nb*B_ROWS, zero-padded semantics) or already-tiled
+    [nb*SUB, LANE] -> row tiles [nb*SUB, LANE]."""
+    if v.ndim == 2:
+        return v
+    if v.shape[0] == nb * B_ROWS:
+        return v.reshape(nb * SUB, LANE)
+    out = jnp.zeros((nb * B_ROWS,), dtype=v.dtype)
+    out = jax.lax.dynamic_update_slice(out, v, (0,))
+    return out.reshape(nb * SUB, LANE)
+
+
+# fused epilogues applied to the SpMV accumulator inside the kernel
+# (operand row-tiles stream as ordinary blocked inputs):
+#   axpby:        y = u + (b - (Ax + acc)) * s * escale   ops=(u, b, s)
+#   resid:        y = b - (Ax + acc)                      ops=(b,)
+#   add:          y = u + (Ax + acc)                      ops=(u,)
+#   resid_scaled: y = (b - (Ax + acc)) * s * escale       ops=(b, s)
+_EPI_NOPS = {None: 0, "axpby": 3, "resid": 1, "add": 1, "resid_scaled": 2}
+
+
+def _apply_epi(acc, ex, epi, escale, y_ref):
+    """Shared kernel epilogue; ex = (acc_ref?, *operand_refs)."""
+    n_ops = _EPI_NOPS[epi]
+    if len(ex) > n_ops:                       # leading acc input
+        acc = acc + ex[0][:, :]
+        ex = ex[1:]
+    if epi is None:
+        out = acc
+    elif epi == "axpby":
+        u, b, s = (r[:, :] for r in ex)
+        out = u + (b - acc) * (s * escale)
+    elif epi == "resid":
+        out = ex[0][:, :] - acc
+    elif epi == "add":
+        out = ex[0][:, :] + acc
+    elif epi == "resid_scaled":
+        b, s = (r[:, :] for r in ex)
+        out = (b - acc) * (s * escale)
+    else:  # pragma: no cover
+        raise ValueError(f"unknown epilogue {epi!r}")
+    y_ref[:, :] = out
+
+
+def well_apply(
+    Ws, x: jnp.ndarray, epi: str | None = None, b=None, u=None, s=None,
+    escale: float = 1.0, unpadded: bool = True,
+) -> jnp.ndarray:
+    """Fused windowed SpMV + epilogue over a WellMatrix or tuple of slot/
+    band groups (1-D x). Partial group sums chain through the kernel's
+    acc input; the epilogue (see _apply_epi) runs in the LAST group's
+    kernel, so a whole smoother update is ONE Pallas call per group with
+    no XLA elementwise ops between. b/u/s may be flat [n] (zero-padded
+    into tiles) or pre-tiled [nb*SUB, LANE]; s must be zero-padded past
+    the logical rows so padded rows stay zero."""
+    Ws = Ws if isinstance(Ws, tuple) else (Ws,)
+    nb = Ws[0].nb
+    operands = {
+        None: (), "axpby": (u, b, s), "resid": (b,), "add": (u,),
+        "resid_scaled": (b, s),
+    }[epi]
+    ops = tuple(_as_tiles(v, nb) for v in operands)
+    acc = None
+    for W in Ws[:-1]:
+        acc = well_spmv(W, x, unpadded=False, acc=acc)
+    return well_spmv(
+        Ws[-1], x, unpadded=unpadded, epi=epi, escale=escale, acc=acc,
+        ops=ops,
+    )
+
+
+@partial(jax.jit, static_argnames=("unpadded", "interpret", "epi", "escale"))
 def well_spmv(W: WellMatrix, x: jnp.ndarray, unpadded: bool = True,
-              interpret: bool = False):
-    """y = A @ x via the windowed Pallas kernel. x: [n_cols]."""
+              interpret: bool = False, epi: str | None = None,
+              escale: float = 1.0, acc=None, ops: tuple = ()):
+    """y = epilogue(A @ x (+ acc)) via the windowed Pallas kernel.
+
+    x: [n_cols] flat (or [nb_x*B_ROWS] zero-tail padded). acc: optional
+    [nb*B_ROWS] flat or [nb*SUB, LANE] partial sum added to A@x. ops:
+    epilogue operand row-tiles (see _apply_epi)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -572,11 +648,22 @@ def well_spmv(W: WellMatrix, x: jnp.ndarray, unpadded: bool = True,
     interpret = interpret or jax.default_backend() == "cpu"
 
     nb, w, H, XR = W.nb, W.w, W.H, W.XR
-    x_pad = jnp.zeros((XR * LANE,), dtype=W.dat.dtype)
-    x_pad = jax.lax.dynamic_update_slice(
-        x_pad, x.astype(W.dat.dtype), (W.xpad * B_ROWS,)
-    )
-    x2d = x_pad.reshape(XR, LANE)
+    if W.xpad == 0 and x.ndim == 1 and x.shape[0] == XR * LANE:
+        # padded-flow fast path: x is already the kernel's x space with a
+        # zero tail (tiled V-cycle vectors) — pure reshape, no copy
+        x2d = x.astype(W.dat.dtype).reshape(XR, LANE)
+    else:
+        x_pad = jnp.zeros((XR * LANE,), dtype=W.dat.dtype)
+        x_pad = jax.lax.dynamic_update_slice(
+            x_pad, x.astype(W.dat.dtype), (W.xpad * B_ROWS,)
+        )
+        x2d = x_pad.reshape(XR, LANE)
+
+    ex_in = ()
+    if acc is not None:
+        ex_in += (_as_tiles(acc, nb).astype(W.dat.dtype),)
+    ex_in += tuple(t.astype(W.dat.dtype) for t in ops)
+    n_ex = len(ex_in)
 
     if W.q is not None:
         # diagonal mode: candidates are diagonal offsets d; sublane s of
@@ -598,6 +685,10 @@ def well_spmv(W: WellMatrix, x: jnp.ndarray, unpadded: bool = True,
                 pl.BlockSpec((w * SUB, LANE), lambda b, rb, ob: (b, 0)),
                 pl.BlockSpec((w * SUB, LANE), lambda b, rb, ob: (b, 0)),
                 pl.BlockSpec((w * SUB, LANE), lambda b, rb, ob: (b, 0)),
+            ] + [
+                pl.BlockSpec((SUB, LANE), lambda b, rb, ob: (b, 0))
+                for _ in range(n_ex)
+            ] + [
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec((SUB, LANE), lambda b, rb, ob: (b, 0)),
@@ -607,8 +698,10 @@ def well_spmv(W: WellMatrix, x: jnp.ndarray, unpadded: bool = True,
             ],
         )
 
-        def dia_kernel(rb_ref, ob_ref, hi_ref, lo_ref, dat_ref, x_hbm,
-                       y_ref, win, sem):
+        def dia_kernel(*refs):
+            rb_ref, ob_ref, hi_ref, lo_ref, dat_ref = refs[:5]
+            ex = refs[5:5 + n_ex]
+            x_hbm, y_ref, win, sem = refs[5 + n_ex:]
             b = pl.program_id(0)
             rb0t = rb_ref[b] // SUB
             cp = pltpu.make_async_copy(
@@ -643,14 +736,14 @@ def well_spmv(W: WellMatrix, x: jnp.ndarray, unpadded: bool = True,
                     t = jnp.take_along_axis(tile_d, lok, axis=1)
                     g = jnp.where(ddk == d, t, g)
                 acc = acc + datk * g
-            y_ref[:, :] = acc
+            _apply_epi(acc, ex, epi, escale, y_ref)
 
         y2d = pl.pallas_call(
             dia_kernel,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((nb * SUB, LANE), W.dat.dtype),
             interpret=interpret,
-        )(W.rb, W.ob, W.hi, W.lo, W.dat, x3d)
+        )(W.rb, W.ob, W.hi, W.lo, W.dat, *ex_in, x3d)
         y = y2d.reshape(-1)
         return y[: W.n_rows] if unpadded else y
 
@@ -673,6 +766,10 @@ def well_spmv(W: WellMatrix, x: jnp.ndarray, unpadded: bool = True,
                 pl.BlockSpec((w * SUB, LANE), lambda b, rb, ob: (b, 0)),
                 pl.BlockSpec((w * SUB, LANE), lambda b, rb, ob: (b, 0)),
                 pl.BlockSpec((w * SUB, LANE), lambda b, rb, ob: (b, 0)),
+            ] + [
+                pl.BlockSpec((SUB, LANE), lambda b, rb, ob: (b, 0))
+                for _ in range(n_ex)
+            ] + [
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=pl.BlockSpec((SUB, LANE), lambda b, rb, ob: (b, 0)),
@@ -682,8 +779,10 @@ def well_spmv(W: WellMatrix, x: jnp.ndarray, unpadded: bool = True,
             ],
         )
 
-        def tap_kernel(rb_ref, ob_ref, hi_ref, lo_ref, dat_ref, x_hbm,
-                       y_ref, win, sem):
+        def tap_kernel(*refs):
+            rb_ref, ob_ref, hi_ref, lo_ref, dat_ref = refs[:5]
+            ex = refs[5:5 + n_ex]
+            x_hbm, y_ref, win, sem = refs[5 + n_ex:]
             b = pl.program_id(0)
             rb0 = rb_ref[b] // SUB
             cp = pltpu.make_async_copy(
@@ -707,14 +806,14 @@ def well_spmv(W: WellMatrix, x: jnp.ndarray, unpadded: bool = True,
                     t = jnp.take_along_axis(row_b, lok, axis=1)
                     g = jnp.where(hik == h, t, g)
                 acc = acc + datk * g
-            y_ref[:, :] = acc
+            _apply_epi(acc, ex, epi, escale, y_ref)
 
         y2d = pl.pallas_call(
             tap_kernel,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((nb * SUB, LANE), W.dat.dtype),
             interpret=interpret,
-        )(W.rb, W.ob, W.hi, W.lo, W.dat, x3d)
+        )(W.rb, W.ob, W.hi, W.lo, W.dat, *ex_in, x3d)
         y = y2d.reshape(-1)
         return y[: W.n_rows] if unpadded else y
 
@@ -725,6 +824,10 @@ def well_spmv(W: WellMatrix, x: jnp.ndarray, unpadded: bool = True,
             pl.BlockSpec((w * SUB, LANE), lambda b, rb, hb: (b, 0)),
             pl.BlockSpec((w * SUB, LANE), lambda b, rb, hb: (b, 0)),
             pl.BlockSpec((w * SUB, LANE), lambda b, rb, hb: (b, 0)),
+        ] + [
+            pl.BlockSpec((SUB, LANE), lambda b, rb, hb: (b, 0))
+            for _ in range(n_ex)
+        ] + [
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((SUB, LANE), lambda b, rb, hb: (b, 0)),
@@ -743,7 +846,10 @@ def well_spmv(W: WellMatrix, x: jnp.ndarray, unpadded: bool = True,
     # dynamic bound instead.
     unrolled = w * H <= _UNROLL_CAP
 
-    def kernel(rb_ref, hb_ref, hi_ref, lo_ref, dat_ref, x_hbm, y_ref, win, sem):
+    def kernel(*refs):
+        rb_ref, hb_ref, hi_ref, lo_ref, dat_ref = refs[:5]
+        ex = refs[5:5 + n_ex]
+        x_hbm, y_ref, win, sem = refs[5 + n_ex:]
         b = pl.program_id(0)
         rb0 = rb_ref[b]
         span = hb_ref[b]
@@ -776,13 +882,13 @@ def well_spmv(W: WellMatrix, x: jnp.ndarray, unpadded: bool = True,
                     jnp.zeros((SUB, LANE), dtype=x_hbm.dtype),
                 )
             acc = acc + datk * g
-        y_ref[:, :] = acc
+        _apply_epi(acc, ex, epi, escale, y_ref)
 
     y2d = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb * SUB, LANE), W.dat.dtype),
         interpret=interpret,
-    )(W.rb, W.hb, W.hi, W.lo, W.dat, x2d)
+    )(W.rb, W.hb, W.hi, W.lo, W.dat, *ex_in, x2d)
     y = y2d.reshape(-1)
     return y[: W.n_rows] if unpadded else y

@@ -26,7 +26,13 @@ import jax.numpy as jnp
 
 from surface_multigrid_code_tpu.config import SolveConfig, SmootherType
 from surface_multigrid_code_tpu.ops.sparse import ELLMatrix, ell_from_csr, ell_spmv
-from surface_multigrid_code_tpu.ops.well import any_spmv, build_well_auto
+from surface_multigrid_code_tpu.ops.well import (
+    B_ROWS,
+    WellMatrix,
+    any_spmv,
+    build_well_auto,
+    well_apply,
+)
 from surface_multigrid_code_tpu.ops.smoothers import (
     greedy_coloring,
     color_groups,
@@ -226,6 +232,100 @@ def _relax(level: DeviceLevel, b, u, cfg: SolveConfig, n_iter: int):
     return u
 
 
+def _pad_flat(v: jnp.ndarray, npad: int) -> jnp.ndarray:
+    """Zero-tail pad a flat [n] vector to [npad] (identity when equal)."""
+    if v.shape[0] == npad:
+        return v
+    out = jnp.zeros((npad,), dtype=v.dtype)
+    return jax.lax.dynamic_update_slice(out, v, (0,))
+
+
+def _nb_of(level: DeviceLevel) -> int:
+    W = level.Aw
+    return (W[0] if isinstance(W, tuple) else W).nb
+
+
+def _vcycle_tiled(
+    hier: DeviceHierarchy, b: jnp.ndarray, u: jnp.ndarray, cfg: SolveConfig
+) -> jnp.ndarray:
+    """Padded-flow V-cycle for windowed (well=True) hierarchies.
+
+    Every level vector lives zero-tail padded to nb_l*B_ROWS, so each
+    smoother update / residual / restrict / prolong-add is ONE fused
+    Pallas call per slot group (ops/well.well_apply epilogues) with no
+    XLA elementwise ops or pad copies between kernels. Semantics are
+    identical to the unfused path (same reference schedule,
+    src/mg_VCycle.cpp:3-59) — padded rows carry zeros end to end.
+    """
+    L = hier.n_levels
+
+    def relax(level: DeviceLevel, Bt, Ut, n_iter: int, dinv_t, sgs_t):
+        if (
+            cfg.smoother == SmootherType.CHEBYSHEV
+            and level.lam_max is not None
+        ):
+            lam_max = level.lam_max
+            lam_min = lam_max / 4.0
+            theta = 0.5 * (lam_max + lam_min)
+            delta = 0.5 * (lam_max - lam_min)
+            r = well_apply(
+                level.Aw, Ut, epi="resid_scaled", b=Bt, s=dinv_t,
+                unpadded=False,
+            )
+            d = r / theta
+            Ut = Ut + d
+            sigma = theta / delta
+            rho = 1.0 / sigma
+            for _ in range(n_iter - 1):
+                rho_new = 1.0 / (2.0 * sigma - rho)
+                r = well_apply(
+                    level.Aw, Ut, epi="resid_scaled", b=Bt, s=dinv_t,
+                    unpadded=False,
+                )
+                d = rho_new * rho * d + (2.0 * rho_new / delta) * r
+                Ut = Ut + d
+                rho = rho_new
+            return Ut
+        for _ in range(n_iter):
+            if cfg.smoother == SmootherType.MULTICOLOR_GS and sgs_t:
+                for s_c in sgs_t:
+                    Ut = well_apply(
+                        level.Aw, Ut, epi="axpby", u=Ut, b=Bt, s=s_c,
+                        unpadded=False,
+                    )
+            else:
+                Ut = well_apply(
+                    level.Aw, Ut, epi="axpby", u=Ut, b=Bt, s=dinv_t,
+                    escale=cfg.jacobi_weight, unpadded=False,
+                )
+        return Ut
+
+    def go(lv: int, Bt, Ut):
+        level = hier.levels[lv]
+        if lv == L - 1:
+            nL = level.A.n_rows
+            return Ut.at[:nL].add(hier.coarse_inv @ Bt[:nL])
+        npad = Bt.shape[0]
+        dinv_t = _pad_flat(1.0 / level.diag, npad)
+        sgs_t = ()
+        if cfg.smoother == SmootherType.MULTICOLOR_GS and level.group_mask:
+            sgs_t = tuple(
+                _pad_flat(m / level.diag, npad) for m in level.group_mask
+            )
+        Ut = relax(level, Bt, Ut, cfg.pre_relax_iter, dinv_t, sgs_t)
+        r = well_apply(level.Aw, Ut, epi="resid", b=Bt, unpadded=False)
+        nxt = hier.levels[lv + 1]
+        rc = well_apply(nxt.PTw, r, unpadded=False)
+        uc = go(lv + 1, rc, jnp.zeros_like(rc))
+        Ut = well_apply(nxt.Pw, uc, epi="add", u=Ut, unpadded=False)
+        return relax(level, Bt, Ut, cfg.post_relax_iter, dinv_t, sgs_t)
+
+    n = b.shape[0]
+    npad0 = _nb_of(hier.levels[0]) * B_ROWS
+    z = go(0, _pad_flat(b, npad0), _pad_flat(u, npad0))
+    return z[:n] if n != npad0 else z
+
+
 def vcycle(
     hier: DeviceHierarchy,
     b: jnp.ndarray,
@@ -233,6 +333,20 @@ def vcycle(
     cfg: SolveConfig = SolveConfig(),
 ) -> jnp.ndarray:
     """One V-cycle on the finest level (recursion unrolled; jittable)."""
+    import os
+
+    lv0 = hier.levels[0]
+    if (
+        lv0.Aw is not None
+        and b.ndim == 1
+        and not (
+            cfg.smoother == SmootherType.MULTICOLOR_GS
+            and lv0.groups
+            and not lv0.group_mask
+        )
+        and not os.environ.get("SMC_TPU_NO_TILED_VCYCLE")
+    ):
+        return _vcycle_tiled(hier, b, u, cfg)
 
     def go(lv: int, B, U):
         level = hier.levels[lv]
@@ -272,7 +386,10 @@ def solve_loop(
     A0 = lv0.Aw if lv0.Aw is not None else lv0.A
 
     def resid(z):
-        r = rhs - any_spmv(A0, z)
+        if isinstance(A0, (WellMatrix, tuple)) and rhs.ndim == 1:
+            r = well_apply(A0, z, epi="resid", b=rhs)
+        else:
+            r = rhs - any_spmv(A0, z)
         return jnp.sqrt((r * r).sum())
 
     def cond(state):
