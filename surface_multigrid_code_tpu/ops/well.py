@@ -227,7 +227,11 @@ def _stage_ell(A: sp.spmatrix):
 def dia_costs(A: sp.spmatrix, q: tuple, staged=None) -> np.ndarray:
     """Per-tap candidate counts D_k under diagonal slope q=(qn, qd).
     sum(D) is the kernel's select-chain length (the quantity
-    build_well_auto minimizes across slopes)."""
+    build_well_auto minimizes across slopes).
+
+    Integer slopes qn > 1 (the phase-split kernel mode, build_well_diaq)
+    quantize the per-(block,tap) base to 8*qn sublane rows — the phase
+    planes' tile alignment — instead of 8."""
     idx, struct, val, n, m, w, nb = staged if staged else _stage_ell(A)
     qn, qd = q
     s_of = (np.arange(B_ROWS) // LANE)
@@ -241,8 +245,9 @@ def dia_costs(A: sp.spmatrix, q: tuple, staged=None) -> np.ndarray:
     empty = ~st.any(axis=1)
     dmin = np.where(empty, 0, dmin)
     dmax = np.where(empty, 0, dmax)
-    ot = np.floor_divide(dmin, 8)
-    return (dmax - 8 * ot + 1).max(axis=0).astype(np.int64)  # D_k [w]
+    align = 8 * qn if (qd == 1 and qn > 1) else 8
+    ot = np.floor_divide(dmin, align)
+    return (dmax - align * ot + 1).max(axis=0).astype(np.int64)  # D_k [w]
 
 
 def build_well_dia(
@@ -260,9 +265,7 @@ def build_well_dia(
     idx, struct, val, n, m, w, nb = staged if staged else _stage_ell(A)
     qn, qd = q
     if qd == 1 and qn != 1:
-        raise ValueError(
-            f"integer slope {qn} needs strided sublane slices, which this "
-            "Mosaic version does not support; use tap mode")
+        return build_well_diaq(A, dtype=dtype, cap=cap, q=q, staged=staged)
     s_of = (np.arange(B_ROWS) // LANE)
     qf = (qn * s_of) // qd
     sub = (idx // LANE).reshape(nb, B_ROWS, w)
@@ -332,14 +335,106 @@ def build_well_dia(
     return tuple(out)
 
 
+def build_well_diaq(
+    A: sp.spmatrix, dtype=jnp.float32, cap: int = _UNROLL_CAP,
+    q: tuple = (4, 1), staged=None,
+) -> tuple:
+    """Integer-slope (qn >= 2) diagonal layout(s): the PHASE-SPLIT mode.
+
+    A slope-qn operator (e.g. a 4:1 restriction PT) advances qn window
+    sublane rows per output sublane; the per-candidate read is a
+    stride-qn row pattern, which Mosaic cannot slice. The kernel instead
+    reads x phase-split ([qn, XR/(8qn), 8, 128]; plane p holds sublane
+    rows ≡ p mod qn — one XLA transpose per SpMV), where candidate
+    dd = p + qn*j becomes a CONTIGUOUS 8-row slice of plane p at STATIC
+    row offset j: per-candidate cost equals the slope-1 dia mode, and
+    the chain runs over the true diagonal spread instead of the
+    tap-mode span (~qn*8 + spread). Per-(block,tap) bases are aligned
+    DOWN to 8*qn rows so the one prefetched tile offset per (block,tap)
+    is phase-plane tile-aligned. Slots keep canonical identity
+    (well_repack_tap works unchanged)."""
+    idx, struct, val, n, m, w, nb = staged if staged else _stage_ell(A)
+    qn, qd = q
+    if qd != 1 or qn < 2:
+        raise ValueError(f"build_well_diaq needs integer slope >= 2, got {q}")
+    AL = 8 * qn
+    s_of = np.arange(B_ROWS) // LANE
+    qf = qn * s_of
+    sub = (idx // LANE).reshape(nb, B_ROWS, w)
+    st = struct.reshape(nb, B_ROWS, w)
+    di3 = sub - qf[None, :, None]
+    big = np.int64(1) << 40
+    dmin = np.where(st, di3, big).min(axis=1)               # [nb, w]
+    dmax = np.where(st, di3, -big).max(axis=1)
+    empty = ~st.any(axis=1)
+    dmin = np.where(empty, 0, dmin)
+    dmax = np.where(empty, 0, dmax)
+
+    base = np.floor_divide(dmin, AL) * AL                   # [nb, w]
+    xpad_rows = -(-int(max(0, -base.min())) // AL) * AL
+    baseP = base + xpad_rows
+    D = (dmax + xpad_rows - baseP + 1).max(axis=0).astype(np.int64)  # [w]
+    # per-block window start (sublane rows, padded space, mult of 8qn)
+    wt = np.where(
+        empty.all(axis=1), 0, np.where(empty, big, baseP).min(axis=1)
+    )
+    baseP = np.where(empty, wt[:, None], baseP)
+    obq = ((baseP - wt[:, None]) // AL).astype(np.int64)    # [nb, w] tiles
+    rbq = (wt // AL).astype(np.int32)                       # [nb] tiles
+
+    dd = di3 + xpad_rows - baseP.reshape(nb, 1, w)
+    dd = np.where(st, dd, 0).reshape(nb * B_ROWS, w)
+    lo = np.where(struct, idx % LANE, 0).astype(np.int32)
+    ddr = np.repeat(D[None, :], nb * B_ROWS, axis=0)
+    assert dd.min() >= 0 and (dd < ddr).all(), (dd.min(), dd.max(), D)
+    dd = dd.astype(np.int32)
+
+    # per-tap per-phase tiles: rows j + s, j < ceil(D/qn), s < 8
+    Tq = (-(-D // qn) + 7 + 7) // 8                         # ceil((ceil(D/qn)+7)/8)
+    m_rows = -(-m // LANE)
+
+    groups = []
+    k0, acc = 0, 0
+    for k in range(w):
+        if acc and acc + int(D[k]) > cap:
+            groups.append((k0, k))
+            k0, acc = k, 0
+        acc += int(D[k])
+    groups.append((k0, w))
+
+    out = []
+    for g0, g1 in groups:
+        wg = g1 - g0
+        obg = obq[:, g0:g1]
+        Tg = Tq[g0:g1]
+        Hp8 = int(max(1, (obg + Tg[None, :]).max()))
+        XRrows = max(xpad_rows + m_rows, int((rbq.max() + Hp8) * AL))
+        XRrows = -(-XRrows // AL) * AL
+        out.append(WellMatrix(
+            rb=jnp.asarray(rbq),
+            hb=jnp.asarray(np.maximum((dmax - dmin + 1).max(axis=1), 1)
+                           .astype(np.int32)),
+            hi=jnp.asarray(_host_pack(dd[:, g0:g1], nb, wg)),
+            lo=jnp.asarray(_host_pack(lo[:, g0:g1], nb, wg)),
+            dat=jnp.asarray(_host_pack(val[:, g0:g1], nb, wg), dtype=dtype),
+            n_rows=n, n_cols=m, w=wg, H=Hp8 * AL, XR=XRrows,
+            ob=jnp.asarray(obg.reshape(-1).astype(np.int32)),
+            ht=tuple(int(d) for d in D[g0:g1]),
+            q=(int(qn), 1),
+            xpad=xpad_rows // 8,
+        ))
+    return tuple(out)
+
+
 # slope candidates tried by build_well_auto, with per-candidate op-cost
 # weights relative to tap mode (fractional slopes build the row pattern
-# from ceil(8/qd) broadcasts + a concat). Integer slopes > 1 need strided
-# sublane slices, which this Mosaic version rejects
-# ('extract_strided_slice strides confined to [1,2)') — steep operators
-# (restriction PTs) stay on tap mode until then.
+# from ceil(8/qd) broadcasts + a concat; integer slopes >= 2 use the
+# phase-split kernel mode, per-candidate cost ~ slope-1 dia)
 _AUTO_QS = (
     ((1, 1), 1.0),
+    ((2, 1), 1.05),
+    ((3, 1), 1.05),
+    ((4, 1), 1.05),
     ((1, 2), 2.3),
     ((1, 4), 1.7),
 )
@@ -664,6 +759,85 @@ def well_spmv(W: WellMatrix, x: jnp.ndarray, unpadded: bool = True,
         ex_in += (_as_tiles(acc, nb).astype(W.dat.dtype),)
     ex_in += tuple(t.astype(W.dat.dtype) for t in ops)
     n_ex = len(ex_in)
+
+    if W.q is not None and W.q[1] == 1 and W.q[0] > 1:
+        # phase-split integer-slope mode (build_well_diaq): x is viewed
+        # as qn phase planes (plane p = sublane rows ≡ p mod qn, one XLA
+        # transpose per call); candidate dd = p + qn*j reads a CONTIGUOUS
+        # 8-row slice of plane p at STATIC offset j within the
+        # per-(block,tap) window (one prefetched tile offset).
+        qn = W.q[0]
+        AL = SUB * qn
+        D = W.ht
+        Tq = [(-(-D[k] // qn) + 14) // 8 for k in range(w)]
+        Hp8 = H // AL
+        XRq8 = XR // AL
+        xq = (
+            x2d.reshape(XRq8 * SUB, qn, LANE)
+            .transpose(1, 0, 2)
+            .reshape(qn, XRq8, SUB, LANE)
+        )
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((w * SUB, LANE), lambda b, rb, ob: (b, 0)),
+                pl.BlockSpec((w * SUB, LANE), lambda b, rb, ob: (b, 0)),
+                pl.BlockSpec((w * SUB, LANE), lambda b, rb, ob: (b, 0)),
+            ] + [
+                pl.BlockSpec((SUB, LANE), lambda b, rb, ob: (b, 0))
+                for _ in range(n_ex)
+            ] + [
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((SUB, LANE), lambda b, rb, ob: (b, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((qn, Hp8, SUB, LANE), W.dat.dtype),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        )
+
+        def diaq_kernel(*refs):
+            rb_ref, ob_ref, hi_ref, lo_ref, dat_ref = refs[:5]
+            ex = refs[5:5 + n_ex]
+            x_hbm, y_ref, win, sem = refs[5 + n_ex:]
+            b = pl.program_id(0)
+            rbt = rb_ref[b]
+            cp = pltpu.make_async_copy(
+                x_hbm.at[:, pl.ds(rbt, Hp8), :, :], win, sem
+            )
+            cp.start()
+            cp.wait()
+            acc = jnp.zeros((SUB, LANE), dtype=y_ref.dtype)
+            for k in range(w):
+                otq = ob_ref[b * w + k]
+                ddk = hi_ref[k * SUB:(k + 1) * SUB, :]
+                lok = lo_ref[k * SUB:(k + 1) * SUB, :]
+                datk = dat_ref[k * SUB:(k + 1) * SUB, :]
+                g = jnp.zeros((SUB, LANE), dtype=x_hbm.dtype)
+                for p in range(qn):
+                    nj = -(-(D[k] - p) // qn)
+                    if nj <= 0:
+                        continue
+                    V2 = win[p, pl.ds(otq, Tq[k]), :, :].reshape(
+                        Tq[k] * SUB, LANE
+                    )
+                    for j in range(nj):
+                        tile = jax.lax.slice(V2, (j, 0), (j + SUB, LANE))
+                        t = jnp.take_along_axis(tile, lok, axis=1)
+                        g = jnp.where(ddk == p + qn * j, t, g)
+                acc = acc + datk * g
+            _apply_epi(acc, ex, epi, escale, y_ref)
+
+        y2d = pl.pallas_call(
+            diaq_kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((nb * SUB, LANE), W.dat.dtype),
+            interpret=interpret,
+        )(W.rb, W.ob, W.hi, W.lo, W.dat, *ex_in, xq)
+        y = y2d.reshape(-1)
+        return y[: W.n_rows] if unpadded else y
 
     if W.q is not None:
         # diagonal mode: candidates are diagonal offsets d; sublane s of
