@@ -70,6 +70,10 @@ class SolveConfig:
     jacobi_weight: float = 2.0 / 3.0
     coarsest_diag_shift: float = 1e-12
     prune_threshold: float = 1e-15
+    # Padded-flow fused V-cycle on windowed (well=True) hierarchies
+    # (solver/vcycle._vcycle_tiled); False forces the unfused path —
+    # an A/B hook, trajectories are identical.
+    tiled_vcycle: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

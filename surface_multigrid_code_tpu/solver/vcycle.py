@@ -333,18 +333,16 @@ def vcycle(
     cfg: SolveConfig = SolveConfig(),
 ) -> jnp.ndarray:
     """One V-cycle on the finest level (recursion unrolled; jittable)."""
-    import os
-
     lv0 = hier.levels[0]
     if (
-        lv0.Aw is not None
+        getattr(cfg, "tiled_vcycle", True)
+        and lv0.Aw is not None
         and b.ndim == 1
         and not (
             cfg.smoother == SmootherType.MULTICOLOR_GS
             and lv0.groups
             and not lv0.group_mask
         )
-        and not os.environ.get("SMC_TPU_NO_TILED_VCYCLE")
     ):
         return _vcycle_tiled(hier, b, u, cfg)
 

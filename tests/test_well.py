@@ -291,3 +291,128 @@ def test_mcf_stepper_well_matches_ell(rng):
         U1, r1, _ = s1.step(U1)
         assert len(r0) == len(r1)
         assert np.abs(U1 - U0).max() / np.abs(U0).max() < 5e-5
+
+
+def test_fused_epilogues_match_reference(rng):
+    """well_apply epilogues (axpby/resid/add/resid_scaled) == dense math,
+    across tap/auto/plain layouts and multi-group chaining."""
+    from surface_multigrid_code_tpu.ops.well import (
+        B_ROWS,
+        build_well_auto,
+        build_well_tap,
+        well_apply,
+    )
+
+    A = _banded(rng, n=2500, half_bw=300, per_row=6)
+    n = A.shape[0]
+    x = rng.standard_normal(n)
+    b = rng.standard_normal(n)
+    u = rng.standard_normal(n)
+    diag = np.abs(A.diagonal()) + 1.0
+    nb = -(-n // B_ROWS)
+    s = np.zeros(nb * B_ROWS)
+    s[:n] = 1.0 / diag
+    Ax = A @ x
+    for W in (
+        build_well_tap(A, dtype=jnp.float64),
+        build_well_auto(A, dtype=jnp.float64),
+        build_well_tap(A, dtype=jnp.float64, cap=64),  # forces 3 groups
+        build_well(A, dtype=jnp.float64),
+    ):
+        xj, bj, uj, sj = (jnp.asarray(v) for v in (x, b, u, s))
+        cases = [
+            (well_apply(W, xj), Ax),
+            (well_apply(W, xj, epi="resid", b=bj), b - Ax),
+            (well_apply(W, xj, epi="add", u=uj), u + Ax),
+            (
+                well_apply(W, xj, epi="axpby", u=uj, b=bj, s=sj, escale=0.7),
+                u + 0.7 * (b - Ax) / diag,
+            ),
+            (
+                well_apply(W, xj, epi="resid_scaled", b=bj, s=sj, escale=1.3),
+                1.3 * (b - Ax) / diag,
+            ),
+        ]
+        for got, want in cases:
+            assert np.abs(np.asarray(got) - want).max() < 1e-11
+
+
+def test_diaq_phase_split_matches_scipy(rng):
+    """Integer-slope phase-split layouts (build_well_diaq) reproduce A@x
+    for restriction-shaped operators, incl. grouping and value refresh."""
+    from surface_multigrid_code_tpu.ops.well import (
+        _stage_ell,
+        build_well_diaq,
+        well_apply,
+        well_repack_tap,
+    )
+
+    n_c, n_f, bw = 1500, 6000, 700
+    rows = np.repeat(np.arange(n_c), 9)
+    cols = np.clip(4 * rows + rng.integers(-bw, bw, rows.size), 0, n_f - 1)
+    A = sp.coo_matrix(
+        (rng.standard_normal(rows.size), (rows, cols)), shape=(n_c, n_f)
+    ).tocsr()
+    A.sum_duplicates()
+    x = rng.standard_normal(n_f)
+    b = rng.standard_normal(n_c)
+    ref = A @ x
+    for q in ((2, 1), (3, 1), (4, 1)):
+        W = build_well_diaq(A, dtype=jnp.float64, q=q)
+        assert np.abs(np.asarray(well_apply(W, jnp.asarray(x))) - ref).max() < 1e-11
+        got = np.asarray(
+            well_apply(W, jnp.asarray(x), epi="resid", b=jnp.asarray(b))
+        )
+        assert np.abs(got - (b - ref)).max() < 1e-11
+    # grouped under a small unroll cap
+    W = build_well_diaq(A, dtype=jnp.float64, q=(4, 1), cap=200)
+    assert len(W) > 1
+    assert np.abs(np.asarray(well_apply(W, jnp.asarray(x))) - ref).max() < 1e-11
+    # canonical-slot value refresh doubles the operator
+    _, _, val, _, _, _, _ = _stage_ell(A)
+    W2 = well_repack_tap(W, jnp.asarray(2.0 * val[: A.shape[0]]))
+    got = np.asarray(well_apply(W2, jnp.asarray(x)))
+    assert np.abs(got - 2.0 * ref).max() < 1e-11
+
+
+def test_tiled_vcycle_matches_unfused(rng):
+    """The padded-flow fused V-cycle equals the unfused path bit-for-bit
+    at f64 on the same windowed hierarchy (jacobi + multicolor-GS).
+    cfg.tiled_vcycle is a static jit arg, so the two configs compile
+    separately (an env toggle would be swallowed by the jit cache)."""
+    from surface_multigrid_code_tpu.config import SolveConfig, SmootherType
+    from surface_multigrid_code_tpu.ops.laplacian import cotmatrix, massmatrix
+    from surface_multigrid_code_tpu.solver.hierarchy import mg_precompute
+    from surface_multigrid_code_tpu.solver.ordering import (
+        finest_rcm,
+        induced_orderings,
+        permute_hierarchy,
+    )
+    from surface_multigrid_code_tpu.solver.vcycle import (
+        build_device_hierarchy,
+        solve_loop,
+    )
+    from surface_multigrid_code_tpu.utils.synthetic import icosphere
+
+    V, F = icosphere(3)
+    mg = mg_precompute(V, F, verbose=False)
+    A = (massmatrix(V, F) - 0.01 * cotmatrix(V, F)).tocsr()
+    As = [A]
+    Ps = [mg[lv].P_full.tocsr() for lv in range(1, len(mg))]
+    for P in Ps:
+        As.append((P.T @ As[-1] @ P).tocsr())
+    As, Ps = permute_hierarchy(As, Ps, induced_orderings(finest_rcm(A), Ps))
+    rhs = rng.standard_normal(A.shape[0])
+    for sm in (SmootherType.JACOBI, SmootherType.MULTICOLOR_GS):
+        cfg = SolveConfig(smoother=sm)
+        cfg_unfused = SolveConfig(smoother=sm, tiled_vcycle=False)
+        hier = build_device_hierarchy(As, Ps, cfg=cfg, dtype=jnp.float64,
+                                      well=True)
+        args = (
+            hier, jnp.asarray(rhs), jnp.zeros(rhs.shape), jnp.asarray(0.0), 4,
+        )
+        z1, r1, k1 = solve_loop(*args, cfg)
+        z0, r0, k0 = solve_loop(*args, cfg_unfused)
+        assert int(k0) == int(k1)
+        assert np.abs(np.asarray(z1) - np.asarray(z0)).max() < 1e-12
+        assert np.abs(np.asarray(r1) - np.asarray(r0)).max() < 1e-12
