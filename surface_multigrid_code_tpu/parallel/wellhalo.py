@@ -1,0 +1,395 @@
+"""Windowed-kernel halo multigrid: band-segment exchange + Pallas SpMV.
+
+parallel/halo.py exchanges publish-slot lists and runs the XLA ELL
+gather per shard — correct everywhere, but the gather path is the
+serial ~6.8 ns/element one (DESIGN.md "The windowed-ELL Pallas
+kernel").  This module is the kernel-speed variant: rows keep the
+GLOBAL induced-RCM ordering (solver/ordering.py — the same ordering the
+single-chip windowed path uses, so every operator family stays banded),
+each level is partitioned into equal B_ROWS-aligned contiguous blocks,
+and the halo is exchanged as CONTIGUOUS BAND SEGMENTS:
+
+    up   = ppermute(x_local[R-hlo:], i -> i+1)     # prev block's tail
+    down = ppermute(x_local[:hhi],  i -> i-1)      # next block's head
+    xx   = concat(up, x_local, down)               # a contiguous GLOBAL
+                                                   # slice [dR-hlo, (d+1)R+hhi)
+
+so a device's column space is a shifted window of the global band and
+the windowed-ELL layouts (ops/well.py) apply verbatim: the stacked
+local operators are ONE build over sp.vstack of the per-device blocks
+(kernel blocks = 1024 rows never straddle devices since R % 1024 == 0),
+whose static layout metadata (w, per-tap spans, H, XR) is automatically
+the max over devices — the SPMD-uniform program shard_map needs — while
+the per-block window starts rb/ob stay per-device DATA.  Smoothing,
+residual, restrict and prolong then run as the same fused-epilogue
+kernel calls as the single-chip padded flow (solver/vcycle._vcycle_tiled).
+
+Publish-slot addressing is structurally wrong for the kernel: canonical
+CSR slots mix interior rows' local columns with boundary rows' halo
+columns in the SAME tap, so per-tap window spans blow up to the whole
+publish buffer.  Segment exchange keeps halo references band-adjacent.
+
+Coarse levels whose halo would span more than one neighbor block
+(band > R) replicate instead: xx = all_gather(x_local) and the block
+columns stay global — O(n_level) comms only where n_level is small.
+The coarsest level is gathered and solved with the replicated dense
+pseudo-inverse, as in the other paths.
+
+The reference is single-process CPU code (SURVEY.md §2.8); this is new
+design — the domain analog of tensor parallelism with ring halos.
+Jacobi/Chebyshev smoothing is order-free, so residual histories match
+parallel/halo.py and parallel/spmd.py exactly (up to dtype rounding),
+which the tests assert.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from surface_multigrid_code_tpu.config import SolveConfig, SmootherType
+from surface_multigrid_code_tpu.ops.well import (
+    B_ROWS,
+    build_well_auto,
+    well_apply,
+)
+from surface_multigrid_code_tpu.solver.ordering import (
+    finest_rcm,
+    induced_orderings,
+    permute_hierarchy,
+)
+from surface_multigrid_code_tpu.solver.vcycle import _power_iteration_lam_max
+
+
+def _pad_to(n: int, mult: int) -> int:
+    return ((n + mult - 1) // mult) * mult
+
+
+def _col_extents(M: sp.csr_matrix, Rr: int, Rc: int, D: int):
+    """(hlo, hhi): how far below/above its own V-block [d*Rc, (d+1)*Rc)
+    any device's rows of M reach, maxed over devices."""
+    M = M.tocsr()
+    hlo = hhi = 0
+    for d in range(D):
+        lo = min(d * Rr, M.shape[0])
+        hi = min((d + 1) * Rr, M.shape[0])
+        cols = M.indices[M.indptr[lo]:M.indptr[hi]]
+        if cols.size == 0:
+            continue
+        hlo = max(hlo, d * Rc - int(cols.min()))
+        hhi = max(hhi, int(cols.max()) - ((d + 1) * Rc - 1))
+    return max(0, hlo), max(0, hhi)
+
+
+def _stack_blocks(M: sp.spmatrix, Rr: int, Rc: int, D: int,
+                  hlo: int, hhi: int, replicate: bool) -> sp.csr_matrix:
+    """vstack of per-device row blocks of M with device-local column
+    shifts (col - d*Rc + hlo), or global columns when replicate."""
+    M = M.tocsr()
+    Mp = sp.csr_matrix(M, copy=True)
+    Mp.resize((Rr * D, M.shape[1]))
+    ncols_local = D * Rc if replicate else Rc + hlo + hhi
+    blocks = []
+    for d in range(D):
+        blk = Mp[d * Rr:(d + 1) * Rr].tocoo()
+        shift = 0 if replicate else (hlo - d * Rc)
+        cols = blk.col + shift
+        assert cols.size == 0 or (
+            cols.min() >= 0 and cols.max() < ncols_local
+        ), "halo extents do not cover this block's stencil"
+        blocks.append(sp.coo_matrix(
+            (blk.data, (blk.row, cols)), shape=(Rr, ncols_local)
+        ))
+    return sp.vstack(blocks).tocsr()
+
+
+def _localize(Ws, R: int):
+    """Static-metadata view of stacked well groups for one device's shard
+    (n_rows becomes the local row count; leaf arrays stay stacked and are
+    sliced by shard_map's row sharding)."""
+    return tuple(dataclasses.replace(W, n_rows=R) for W in Ws)
+
+
+class WellHaloHierarchy:
+    """Band-segment halo multigrid on the windowed Pallas kernel."""
+
+    def __init__(
+        self,
+        As: list[sp.spmatrix],
+        Ps: list[sp.spmatrix],
+        mesh: Mesh,
+        cfg: SolveConfig | None = None,
+        dtype=jnp.float32,
+    ):
+        self.mesh = mesh
+        self.cfg = cfg or SolveConfig(smoother=SmootherType.JACOBI)
+        if self.cfg.smoother == SmootherType.MULTICOLOR_GS:
+            raise NotImplementedError(
+                "multicolor GS does not shard order-free; use JACOBI or "
+                "CHEBYSHEV (parallel/halo.py mirrors this restriction)"
+            )
+        self.dtype = dtype
+        D = mesh.shape["rows"]
+        self.D = D
+        L = len(As)
+        self.n0 = As[0].shape[0]
+
+        # global induced-RCM ordering — same as the single-chip well path
+        perms = induced_orderings(finest_rcm(As[0].tocsr()), Ps)
+        As, Ps = permute_hierarchy(As, Ps, perms)
+        self.perm0 = perms[0]
+
+        Rs = [_pad_to(A.shape[0], D * B_ROWS) // D for A in As]
+        self.Rs = Rs
+
+        # per-level halo extents over all consumers of that level's vector
+        self.hlos, self.hhis, self.reps = [], [], []
+        for lv in range(L):
+            Rl = Rs[lv]
+            lo, hi = _col_extents(As[lv], Rl, Rl, D)
+            if lv < L - 1:
+                l2, h2 = _col_extents(Ps[lv].T.tocsr(), Rs[lv + 1], Rl, D)
+                lo, hi = max(lo, l2), max(hi, h2)
+            if lv > 0:
+                l2, h2 = _col_extents(Ps[lv - 1], Rs[lv - 1], Rl, D)
+                lo, hi = max(lo, l2), max(hi, h2)
+            lo = _pad_to(lo, B_ROWS)
+            hi = _pad_to(hi, B_ROWS)
+            rep = lo > Rl or hi > Rl
+            self.hlos.append(lo)
+            self.hhis.append(hi)
+            self.reps.append(bool(rep))
+
+        shard = NamedSharding(mesh, P("rows", None))
+        vec = NamedSharding(mesh, P("rows"))
+        rep_sh = NamedSharding(mesh, P())
+
+        def put_well(Ws, R):
+            out = []
+            for W in _localize(Ws, R):
+                out.append(dataclasses.replace(
+                    W,
+                    rb=jax.device_put(W.rb, vec),
+                    hb=jax.device_put(W.hb, vec),
+                    hi=jax.device_put(W.hi, shard),
+                    lo=jax.device_put(W.lo, shard),
+                    dat=jax.device_put(W.dat, shard),
+                    ob=None if W.ob is None else jax.device_put(W.ob, vec),
+                ))
+            return tuple(out)
+
+        self.levels = []
+        for lv in range(L):
+            Rl, lo, hi, rep = Rs[lv], self.hlos[lv], self.hhis[lv], self.reps[lv]
+            Astk = _stack_blocks(As[lv], Rl, Rl, D, lo, hi, rep)
+            Aw = put_well(build_well_auto(Astk, dtype=dtype), Rl)
+            diag = np.ones(Rl * D)
+            diag[: As[lv].shape[0]] = As[lv].diagonal()
+            lam = (
+                _power_iteration_lam_max(As[lv].tocsr())
+                if self.cfg.smoother == SmootherType.CHEBYSHEV else 0.0
+            )
+            self.levels.append(dict(
+                Aw=Aw,
+                diag=jax.device_put(jnp.asarray(diag, dtype=dtype), vec),
+                lam_max=jnp.asarray(lam, dtype=dtype),
+                Pw=None, PTw=None,
+            ))
+        for lv in range(L - 1):
+            Rf, Rc = Rs[lv], Rs[lv + 1]
+            lo_f, hi_f, rep_f = self.hlos[lv], self.hhis[lv], self.reps[lv]
+            lo_c, hi_c, rep_c = self.hlos[lv + 1], self.hhis[lv + 1], self.reps[lv + 1]
+            PTstk = _stack_blocks(Ps[lv].T.tocsr(), Rc, Rf, D, lo_f, hi_f, rep_f)
+            Pstk = _stack_blocks(Ps[lv], Rf, Rc, D, lo_c, hi_c, rep_c)
+            self.levels[lv + 1]["PTw"] = put_well(
+                build_well_auto(PTstk, dtype=dtype), Rc)
+            self.levels[lv + 1]["Pw"] = put_well(
+                build_well_auto(Pstk, dtype=dtype), Rf)
+
+        # replicated coarsest dense pseudo-inverse (matches halo.py)
+        nL = Rs[-1] * D
+        Ac = sp.csr_matrix(As[-1], copy=True)
+        Ac.resize((nL, nL))
+        n_last = As[-1].shape[0]
+        if nL > n_last:
+            pad = np.arange(n_last, nL)
+            Ac = (Ac + sp.coo_matrix(
+                (np.ones(pad.shape[0]), (pad, pad)), shape=(nL, nL)
+            )).tocsr()
+        Acd = 0.5 * (Ac.toarray() + Ac.toarray().T)
+        wv, U = np.linalg.eigh(Acd)
+        cutoff = 1e-10 * float(np.abs(wv).max())
+        inv_w = np.where(np.abs(wv) > cutoff,
+                         1.0 / np.where(wv == 0, 1, wv), 0.0)
+        self.coarse_inv = jax.device_put(
+            jnp.asarray((U * inv_w) @ U.T, dtype=dtype), rep_sh)
+        self._sm_cache: dict = {}
+
+    # ------------------------------------------------------------------
+    def _shard_body(self, lvl_args, coarse_inv, rhs_l, z_l, tol, max_iter):
+        cfg = self.cfg
+        D = self.D
+        L = len(lvl_args)
+        hlos, hhis, reps, Rs = self.hlos, self.hhis, self.reps, self.Rs
+
+        def exchange(lv, x_l):
+            if reps[lv]:
+                return jax.lax.all_gather(x_l, "rows").reshape(-1)
+            parts = []
+            lo, hi = hlos[lv], hhis[lv]
+            if lo:
+                parts.append(jax.lax.ppermute(
+                    x_l[-lo:], "rows", [(i, i + 1) for i in range(D - 1)]
+                ))
+            parts.append(x_l)
+            if hi:
+                parts.append(jax.lax.ppermute(
+                    x_l[:hi], "rows", [(i, i - 1) for i in range(1, D)]
+                ))
+            return jnp.concatenate(parts) if len(parts) > 1 else x_l
+
+        def smooth(lv, b_l, u_l, n_iter, sdinv):
+            la = lvl_args[lv]
+            if cfg.smoother == SmootherType.CHEBYSHEV:
+                lam_max = la["lam_max"]
+                lam_min = lam_max / 4.0
+                theta = 0.5 * (lam_max + lam_min)
+                delta = 0.5 * (lam_max - lam_min)
+                r = well_apply(la["Aw"], exchange(lv, u_l),
+                               epi="resid_scaled", b=b_l, s=sdinv,
+                               unpadded=False)
+                d = r / theta
+                u_l = u_l + d
+                sigma = theta / delta
+                rho = 1.0 / sigma
+                for _ in range(n_iter - 1):
+                    rho_new = 1.0 / (2.0 * sigma - rho)
+                    r = well_apply(la["Aw"], exchange(lv, u_l),
+                                   epi="resid_scaled", b=b_l, s=sdinv,
+                                   unpadded=False)
+                    d = rho_new * rho * d + (2.0 * rho_new / delta) * r
+                    u_l = u_l + d
+                    rho = rho_new
+                return u_l
+            for _ in range(n_iter):
+                u_l = well_apply(la["Aw"], exchange(lv, u_l), epi="axpby",
+                                 u=u_l, b=b_l, s=sdinv,
+                                 escale=cfg.jacobi_weight, unpadded=False)
+            return u_l
+
+        def vcycle(lv, b_l, u_l):
+            la = lvl_args[lv]
+            if lv == L - 1:
+                b_all = jax.lax.all_gather(b_l, "rows").reshape(-1)
+                u_all = coarse_inv @ b_all
+                me = jax.lax.axis_index("rows")
+                return u_l + jax.lax.dynamic_slice(
+                    u_all, (me * Rs[lv],), (Rs[lv],))
+            sdinv = 1.0 / la["diag"]
+            u_l = smooth(lv, b_l, u_l, cfg.pre_relax_iter, sdinv)
+            r_l = well_apply(la["Aw"], exchange(lv, u_l), epi="resid",
+                             b=b_l, unpadded=False)
+            nxt = lvl_args[lv + 1]
+            rc = well_apply(nxt["PTw"], exchange(lv, r_l), unpadded=False)
+            uc = vcycle(lv + 1, rc, jnp.zeros_like(rc))
+            u_l = well_apply(nxt["Pw"], exchange(lv + 1, uc), epi="add",
+                             u=u_l, unpadded=False)
+            return smooth(lv, b_l, u_l, cfg.post_relax_iter, sdinv)
+
+        def resid_norm(z_l):
+            r = well_apply(lvl_args[0]["Aw"], exchange(0, z_l), epi="resid",
+                           b=rhs_l, unpadded=False)
+            return jnp.sqrt(jax.lax.psum((r * r).sum(), "rows"))
+
+        def cond(state):
+            k, _, _, done = state
+            return jnp.logical_and(~done, k < max_iter)
+
+        def body(state):
+            k, z_l, r_his, _ = state
+            res = resid_norm(z_l)
+            r_his = r_his.at[k].set(res)
+            done = res < tol
+            z_new = vcycle(0, rhs_l, z_l)
+            z_l = jnp.where(done, z_l, z_new)
+            return (k + 1, z_l, r_his, done)
+
+        r_his0 = jnp.full((max_iter,), -1.0, dtype=rhs_l.dtype)
+        k, z_l, r_his, _ = jax.lax.while_loop(
+            cond, body, (0, z_l, r_his0, jnp.asarray(False))
+        )
+        return z_l, r_his, k
+
+    def _get_sm(self, max_iter: int):
+        if max_iter in self._sm_cache:
+            return self._sm_cache[max_iter]
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+
+        def spec_of(v):
+            if v.ndim == 0:
+                return P()
+            if v.ndim == 1:
+                return P("rows")
+            return P(*(("rows",) + (None,) * (v.ndim - 1)))
+
+        def body(args, rhs_l, z_l, tol):
+            lvls, cinv = args
+            return self._shard_body(lvls, cinv, rhs_l, z_l, tol, max_iter)
+
+        example_args = (self._lvl_args(), self.coarse_inv)
+        arg_specs = jax.tree_util.tree_map(spec_of, example_args)
+        kwargs = dict(
+            mesh=self.mesh,
+            in_specs=(arg_specs, P("rows"), P("rows"), P()),
+            out_specs=(P("rows"), P(), P()),
+        )
+        try:
+            sm = shard_map(body, check_vma=False, **kwargs)
+        except TypeError:  # older API spelling
+            sm = shard_map(body, check_rep=False, **kwargs)
+        fn = jax.jit(sm)
+        self._sm_cache[max_iter] = fn
+        return fn
+
+    def _lvl_args(self):
+        return [
+            {k: v for k, v in lv.items() if v is not None}
+            for lv in self.levels
+        ]
+
+    def solve(self, rhs, z0=None, tolerance=1e-3, max_iter=20):
+        """Mirror of HaloHierarchy.solve (1-D RHS; multi-column RHS stays
+        on the ELL halo path)."""
+        rhs = np.asarray(rhs, dtype=np.float64)
+        if rhs.ndim != 1:
+            raise NotImplementedError(
+                "WellHaloHierarchy solves 1-D RHS; use parallel/halo.py "
+                "for multi-column systems"
+            )
+        n_pad = self.Rs[0] * self.D
+        rhs_p = np.zeros(n_pad)
+        rhs_p[: self.n0] = rhs[self.perm0]
+        z0_p = np.zeros(n_pad)
+        if z0 is not None:
+            z0_p[: self.n0] = np.asarray(z0, dtype=np.float64)[self.perm0]
+        fn = self._get_sm(int(max_iter))
+        z, r_his, k = fn(
+            (self._lvl_args(), self.coarse_inv),
+            jnp.asarray(rhs_p, dtype=self.dtype),
+            jnp.asarray(z0_p, dtype=self.dtype),
+            jnp.asarray(float(tolerance), dtype=self.dtype),
+        )
+        k = int(k)
+        r_list = [float(r) for r in np.asarray(r_his)[:k]]
+        z_out = np.empty(self.n0)
+        z_out[self.perm0] = np.asarray(z, dtype=np.float64)[: self.n0]
+        return z_out, r_list, bool(r_list and r_list[-1] <= tolerance)

@@ -11,7 +11,14 @@ double-word emulation with ~2^-49 relative precision).
 import os
 
 os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8"
+    # 8 virtual devices share 4 host cores; interpret-mode Pallas inside
+    # shard_map makes shards slow enough to trip XLA's CPU collective
+    # stuck-thread abort at its default ~30s deadline.  These raise the
+    # rendezvous deadlines so slow-but-live shards aren't SIGABRTed.
+    + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+    + " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
 )
 
 import jax  # noqa: E402
