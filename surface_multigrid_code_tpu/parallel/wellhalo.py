@@ -29,11 +29,20 @@ CSR slots mix interior rows' local columns with boundary rows' halo
 columns in the SAME tap, so per-tap window spans blow up to the whole
 publish buffer.  Segment exchange keeps halo references band-adjacent.
 
-Coarse levels whose halo would span more than one neighbor block
-(band > R) replicate instead: xx = all_gather(x_local) and the block
-columns stay global — O(n_level) comms only where n_level is small.
-The coarsest level is gathered and solved with the replicated dense
-pseudo-inverse, as in the other paths.
+Levels whose halo would span more than one neighbor block (band > R)
+replicate instead: xx = all_gather(x_local) and the block columns stay
+global — O(n_level) comms only where n_level is small.  The expensive
+case this would naively create is RESTRICTION into a coarse level too
+small to spread over all devices (n_{l+1} < D*B_ROWS): its PT rows sit
+on device 0 but reference the whole fine vector, which would force an
+O(n_fine) all_gather of the FINE level.  Instead such restrictions are
+COLUMN-partitioned: device d's shard holds PT[:, fine-block d] (all
+coarse rows, only its own fine columns — exact, since fine rows have
+unique owners), each shard computes a full-length partial coarse
+product from its LOCAL fine vector with no exchange at all, and the
+partials are psum-reduced over the small padded coarse space — O(n_c*D)
+comms instead of O(n_fine).  The coarsest level is gathered and solved
+with the replicated dense pseudo-inverse, as in the other paths.
 
 The reference is single-process CPU code (SURVEY.md §2.8); this is new
 design — the domain analog of tensor parallelism with ring halos.
@@ -109,6 +118,17 @@ def _stack_blocks(M: sp.spmatrix, Rr: int, Rc: int, D: int,
     return sp.vstack(blocks).tocsr()
 
 
+def _stack_colblocks(M: sp.spmatrix, nrows_pad: int, Rc: int,
+                     D: int) -> sp.csr_matrix:
+    """vstack of per-device COLUMN blocks of M (rows padded to nrows_pad,
+    columns restricted to device d's block [d*Rc, (d+1)*Rc) in local
+    coordinates) — the column-partitioned restriction layout."""
+    M = sp.csr_matrix(M, copy=True)
+    M.resize((nrows_pad, Rc * D))
+    blocks = [M[:, d * Rc:(d + 1) * Rc] for d in range(D)]
+    return sp.vstack(blocks).tocsr()
+
+
 def _localize(Ws, R: int):
     """Static-metadata view of stacked well groups for one device's shard
     (n_rows becomes the local row count; leaf arrays stay stacked and are
@@ -148,23 +168,36 @@ class WellHaloHierarchy:
         Rs = [_pad_to(A.shape[0], D * B_ROWS) // D for A in As]
         self.Rs = Rs
 
-        # per-level halo extents over all consumers of that level's vector
-        self.hlos, self.hhis, self.reps = [], [], []
+        # per-level halo extents over the consumers of that level's vector
+        # (smoothing/residual A_lv and prolongation P_{lv-1}); the
+        # restriction PT_lv joins the segment exchange only when it fits —
+        # otherwise it goes column-partitioned (ptcols[lv]) so a small
+        # coarse level never forces replicating the fine vector
+        self.hlos, self.hhis, self.reps, self.ptcols = [], [], [], []
         for lv in range(L):
             Rl = Rs[lv]
             lo, hi = _col_extents(As[lv], Rl, Rl, D)
-            if lv < L - 1:
-                l2, h2 = _col_extents(Ps[lv].T.tocsr(), Rs[lv + 1], Rl, D)
-                lo, hi = max(lo, l2), max(hi, h2)
             if lv > 0:
                 l2, h2 = _col_extents(Ps[lv - 1], Rs[lv - 1], Rl, D)
                 lo, hi = max(lo, l2), max(hi, h2)
+            lo_pt = hi_pt = 0
+            if lv < L - 1:
+                lo_pt, hi_pt = _col_extents(
+                    Ps[lv].T.tocsr(), Rs[lv + 1], Rl, D)
+            mlo = _pad_to(max(lo, lo_pt), B_ROWS)
+            mhi = _pad_to(max(hi, hi_pt), B_ROWS)
             lo = _pad_to(lo, B_ROWS)
             hi = _pad_to(hi, B_ROWS)
-            rep = lo > Rl or hi > Rl
+            if mlo <= Rl and mhi <= Rl:
+                lo, hi, rep, ptcol = mlo, mhi, False, False
+            elif lo <= Rl and hi <= Rl:
+                rep, ptcol = False, True
+            else:
+                rep, ptcol = True, False
             self.hlos.append(lo)
             self.hhis.append(hi)
             self.reps.append(bool(rep))
+            self.ptcols.append(bool(ptcol) and lv < L - 1)
 
         shard = NamedSharding(mesh, P("rows", None))
         vec = NamedSharding(mesh, P("rows"))
@@ -205,10 +238,19 @@ class WellHaloHierarchy:
             Rf, Rc = Rs[lv], Rs[lv + 1]
             lo_f, hi_f, rep_f = self.hlos[lv], self.hhis[lv], self.reps[lv]
             lo_c, hi_c, rep_c = self.hlos[lv + 1], self.hhis[lv + 1], self.reps[lv + 1]
-            PTstk = _stack_blocks(Ps[lv].T.tocsr(), Rc, Rf, D, lo_f, hi_f, rep_f)
+            if self.ptcols[lv]:
+                # column-partitioned restriction: shard d = PT[:, fine
+                # block d], all (padded) coarse rows; applied to the LOCAL
+                # fine vector, psum-reduced across shards in the solve
+                PTstk = _stack_colblocks(Ps[lv].T.tocsr(), Rc * D, Rf, D)
+                self.levels[lv + 1]["PTw"] = put_well(
+                    build_well_auto(PTstk, dtype=dtype), Rc * D)
+            else:
+                PTstk = _stack_blocks(
+                    Ps[lv].T.tocsr(), Rc, Rf, D, lo_f, hi_f, rep_f)
+                self.levels[lv + 1]["PTw"] = put_well(
+                    build_well_auto(PTstk, dtype=dtype), Rc)
             Pstk = _stack_blocks(Ps[lv], Rf, Rc, D, lo_c, hi_c, rep_c)
-            self.levels[lv + 1]["PTw"] = put_well(
-                build_well_auto(PTstk, dtype=dtype), Rc)
             self.levels[lv + 1]["Pw"] = put_well(
                 build_well_auto(Pstk, dtype=dtype), Rf)
 
@@ -296,7 +338,15 @@ class WellHaloHierarchy:
             r_l = well_apply(la["Aw"], exchange(lv, u_l), epi="resid",
                              b=b_l, unpadded=False)
             nxt = lvl_args[lv + 1]
-            rc = well_apply(nxt["PTw"], exchange(lv, r_l), unpadded=False)
+            if self.ptcols[lv]:
+                part = well_apply(nxt["PTw"], r_l, unpadded=False)
+                rc_full = jax.lax.psum(part, "rows")
+                me = jax.lax.axis_index("rows")
+                rc = jax.lax.dynamic_slice(
+                    rc_full, (me * Rs[lv + 1],), (Rs[lv + 1],))
+            else:
+                rc = well_apply(nxt["PTw"], exchange(lv, r_l),
+                                unpadded=False)
             uc = vcycle(lv + 1, rc, jnp.zeros_like(rc))
             u_l = well_apply(nxt["Pw"], exchange(lv + 1, uc), epi="add",
                              u=u_l, unpadded=False)

@@ -31,8 +31,10 @@ def _parity_case(depth, ndev, max_iter):
     mesh = make_row_mesh(ndev)
     cfg = SolveConfig(smoother=SmootherType.JACOBI)
     h1 = WellHaloHierarchy(As, Ps, mesh, cfg=cfg, dtype=jnp.float64)
-    # both exchange modes must be in play for this to test anything
+    # all three exchange modes must be in play for this to test anything:
+    # band segments, replication, and column-partitioned restriction
     assert any(h1.reps) and not all(h1.reps), h1.reps
+    assert any(h1.ptcols), (h1.ptcols, h1.reps)
     h0 = HaloHierarchy(As, Ps, mesh, cfg=cfg, dtype=jnp.float64)
     z0, r0, ok0 = h0.solve(rhs, tolerance=1e-8, max_iter=max_iter)
     z1, r1, ok1 = h1.solve(rhs, tolerance=1e-8, max_iter=max_iter)
