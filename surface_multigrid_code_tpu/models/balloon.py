@@ -345,7 +345,9 @@ class BsrBalloonStepper:
 
     def __init__(self, shell: ShellEnergy, M: sp.csr_matrix, mg, dt: float,
                  mg_tolerance: float = 2e-1, n_newton: int = 10,
-                 max_cycles: int = 20, cfg=None, dtype=None):
+                 max_cycles: int = 20, cfg=None, dtype=None,
+                 well: bool | None = None,
+                 newton_unroll: bool | None = None):
         import jax
         import jax.numpy as jnp
         from surface_multigrid_code_tpu.solver.bsr import (
@@ -377,24 +379,56 @@ class BsrBalloonStepper:
             + sp.identity(nv)
         ).tocsr()
         pattern.sum_duplicates()
-        slots = csr_slot_map(pattern, rows, cols)
-        order = np.argsort(slots, kind="stable")
-        gi, gw, ti, tw, ts = _ellize_segments(
-            slots[order], order, np.ones(order.shape[0]),
-            order.shape[0], pattern.nnz, W_cap=16,
-        )
-        diag_slots = csr_slot_map(pattern, np.arange(nv), np.arange(nv))
-        Mv = np.asarray(M.diagonal())[0::3]
 
         if dtype is None:
             dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
         self.dtype = dtype
-        solver = BsrRefreshableSolver(mg, pattern, cfg=cfg, dtype=dtype)
+        solver = BsrRefreshableSolver(mg, pattern, cfg=cfg, dtype=dtype,
+                                      well=well)
         self.solver = solver
-        self.pattern = pattern
+        if newton_unroll is None:
+            # trace-time unroll of the Newton loop is available for
+            # experiments but never needed: the round-2 TPU worker fault
+            # was bisected to IN-JIT vperm row-permutes/scatters composed
+            # with the Newton fori_loop (probe_step_bisect stage 16
+            # crashes, stage 15 — identical minus permutes — passes), so
+            # the jitted step now runs entirely in permuted space and
+            # the public step() permutes on host.
+            newton_unroll = False
+        self.pattern = solver.pattern_v
         cfg = solver.cfg
         dt = float(dt)
         nnz = pattern.nnz
+
+        # When the solver permutes (well mode), assemble DIRECTLY in the
+        # kernel's vertex ordering: map every static vertex-id table
+        # through the inverse permutation so the per-step assembly and
+        # energies run in permuted space at zero runtime cost; only the
+        # step's [nv, 3] inputs/outputs get one row-permute each.
+        vperm = solver.vperm
+        self._vperm = vperm
+        if vperm is not None:
+            ip = np.empty_like(vperm)
+            ip[vperm] = np.arange(nv)
+            F = ip[F]
+            rows = ip[rows]
+            cols = ip[cols]
+            opp = None if not shell.bending else ip[shell.opp]
+        else:
+            opp = None if not shell.bending else shell.opp
+        slots = csr_slot_map(solver.pattern_v, rows, cols)
+        order = np.argsort(slots, kind="stable")
+        gi, gw, ti, tw, ts = _ellize_segments(
+            slots[order], order, np.ones(order.shape[0]),
+            order.shape[0], nnz, W_cap=16,
+        )
+        diag_slots = csr_slot_map(
+            solver.pattern_v, np.arange(nv), np.arange(nv))
+        Mv = np.asarray(M.diagonal())[0::3]
+        Mdiag = np.asarray(M.diagonal()).reshape(nv, 3)
+        if vperm is not None:
+            Mv = Mv[vperm]
+            Mdiag = Mdiag[vperm]
 
         state = {
             "solver": solver._state,
@@ -403,14 +437,16 @@ class BsrBalloonStepper:
             "asm_tail_seg": jnp.asarray(ts),
             "diag_slots": jnp.asarray(diag_slots),
             "Mv": jnp.asarray(Mv, dtype=dtype),
-            "Mdiag": jnp.asarray(np.asarray(M.diagonal()), dtype=dtype),
+            "Mdiag": jnp.asarray(Mdiag.reshape(-1), dtype=dtype),
             "abars": shell.abars.astype(dtype),
             "F": jnp.asarray(F),
         }
         if shell.bending:
-            state["opp"] = jnp.asarray(shell.opp)
+            state["opp"] = jnp.asarray(opp)
             state["mask"] = jnp.asarray(shell.mask)
             state["bbars"] = shell.bbars.astype(dtype)
+        if vperm is not None:
+            state["vperm"] = jnp.asarray(vperm)
 
         def energy(st, x_flat):
             from surface_multigrid_code_tpu.models.shell import _energy_sum
@@ -465,6 +501,11 @@ class BsrBalloonStepper:
         self._block_vals = block_vals
 
         def step(st, curPos0, qdot0, fExt):
+            # NOTE: in well mode every [nv, *] input is already in the
+            # solver's permuted vertex order (the public step() permutes
+            # on host) and outputs stay permuted.  Permuting INSIDE this
+            # program faults the TPU worker when composed with the
+            # Newton fori_loop — probe_step_bisect stages 15/16.
             curPos0 = curPos0.astype(dtype)
             qdot0 = qdot0.astype(dtype)
             fExt = fExt.astype(dtype)
@@ -519,9 +560,16 @@ class BsrBalloonStepper:
                 qdot = qdot + jnp.where(found, alpha, 0.0) * dx
                 return (qdot, alpha)
 
-            qdot, _ = jax.lax.fori_loop(
-                0, n_newton, newton, (qdot0, jnp.asarray(1.0, dtype=dtype))
-            )
+            carry = (qdot0, jnp.asarray(1.0, dtype=dtype))
+            if newton_unroll:
+                # trace-time unroll: keeps ONE dispatch but no lax While
+                # around the windowed Pallas kernels (see newton_unroll
+                # note in __init__)
+                for i in range(n_newton):
+                    carry = newton(i, carry)
+                qdot, _ = carry
+            else:
+                qdot, _ = jax.lax.fori_loop(0, n_newton, newton, carry)
             curPos = curPos0 + dt * qdot.reshape(-1, 3)
             return curPos, qdot
 
@@ -529,17 +577,38 @@ class BsrBalloonStepper:
         self._step = jax.jit(step)
 
     def step(self, curPos, qdot, fExt):
-        """One implicit Euler step; returns (curPos_next, qdot_next)."""
+        """One implicit Euler step; returns (curPos_next, qdot_next).
+
+        In well mode the jitted program runs entirely in the solver's
+        permuted vertex order; this wrapper permutes inputs / inverse-
+        permutes outputs on host (in-jit permutes composed with the
+        Newton fori_loop fault the TPU worker — probe_step_bisect
+        stages 15/16).
+        """
         import jax.numpy as jnp
 
+        vp = self._vperm
+        curPos = np.asarray(curPos, dtype=np.float64)
+        qdot3 = np.asarray(qdot, dtype=np.float64).reshape(-1, 3)
+        fExt3 = np.asarray(fExt, dtype=np.float64).reshape(-1, 3)
+        if vp is not None:
+            curPos = curPos[vp]
+            qdot3 = qdot3[vp]
+            fExt3 = fExt3[vp]
         p, q = self._step(
-            self._state, jnp.asarray(curPos), jnp.asarray(qdot),
-            jnp.asarray(fExt),
+            self._state, jnp.asarray(curPos),
+            jnp.asarray(qdot3.reshape(-1)),
+            jnp.asarray(fExt3.reshape(-1)),
         )
-        return (
-            np.asarray(p, dtype=np.float64),
-            np.asarray(q, dtype=np.float64),
-        )
+        p = np.asarray(p, dtype=np.float64)
+        q = np.asarray(q, dtype=np.float64).reshape(-1, 3)
+        if vp is not None:
+            po = np.empty_like(p)
+            po[vp] = p
+            qo = np.empty_like(q)
+            qo[vp] = q
+            p, q = po, qo
+        return p, q.reshape(-1)
 
 
 def implicit_euler_balloon_direct(

@@ -243,35 +243,153 @@ class BsrRefreshableSolver:
     """Fixed SCALAR hierarchy + fixed vertex sparsity; per-solve 3x3-block
     value refresh.  mg is from mg_precompute (vertex-level, NOT the
     3-expanded mg_precompute_block); pattern_v the vertex-graph CSR whose
-    sparsity every refreshed block matrix shares (diagonal required)."""
+    sparsity every refreshed block matrix shares (diagonal required).
+
+    well=True (default off-CPU) permutes the hierarchy with the induced
+    RCM ordering and runs the Galerkin value refresh as windowed-kernel
+    SpMVs (solver/wellrefresh.py) instead of XLA gathers — the gathers
+    are serial on this TPU and dominate the balloon step
+    (probe_balloon_parts.py: 79 ms/refresh vs 3.4 ms/V-cycle).  Public
+    inputs/outputs stay in the caller's ordering: `vperm` / `nnz_perm`
+    expose the vertex and nnz permutations for callers (the balloon
+    stepper) that want to assemble directly in kernel order."""
 
     def __init__(self, mg, pattern_v: sp.spmatrix,
                  cfg: SolveConfig | None = None, dtype=jnp.float32,
-                 coarsest_shift: float = 1e-12):
+                 coarsest_shift: float = 1e-12, well: bool | None = None):
+        from surface_multigrid_code_tpu.solver.ordering import (
+            finest_rcm,
+            induced_orderings,
+        )
+        from surface_multigrid_code_tpu.solver.wellrefresh import (
+            WellRefreshChain,
+        )
+
         self.cfg = cfg or SolveConfig(smoother=SmootherType.CHEBYSHEV)
         assert self.cfg.smoother in (
             SmootherType.CHEBYSHEV, SmootherType.JACOBI
         ), "BSR path supports pointwise smoothers (Chebyshev/Jacobi)"
         self.dtype = dtype
+        if well is None:
+            well = jax.default_backend() != "cpu"
+        self.well = bool(well)
         Av = pattern_v.tocsr().copy()
         Av.sum_duplicates()
-        self.pattern_v = Av
         Ps = [mg[lv].P_full.tocsr() for lv in range(1, len(mg))]
-        self.plan: GalerkinPlan = build_galerkin_plan(Av, Ps)
-        self.P_ell = [ell_from_csr(P, dtype=dtype) for P in Ps]
-        self.PT_ell = [ell_from_csr(P.T.tocsr(), dtype=dtype) for P in Ps]
+        self.vperm = None
+        self.nnz_perm = None
+        if self.well:
+            perms = induced_orderings(finest_rcm(Av), Ps)
+            self.vperm = perms[0]
+            ip = np.empty_like(self.vperm)
+            ip[self.vperm] = np.arange(self.vperm.shape[0])
+            rows_o = np.repeat(np.arange(Av.shape[0]), np.diff(Av.indptr))
+            cols_o = Av.indices.copy()
+            Av = Av[self.vperm][:, self.vperm].tocsr()
+            Av.sum_duplicates()
+            Ps = [
+                P[perms[lv]][:, perms[lv + 1]].tocsr()
+                for lv, P in enumerate(Ps)
+            ]
+            # nnz_perm[k_new] = old nnz id whose value lands at new slot k
+            from surface_multigrid_code_tpu.solver.refresh import (
+                csr_slot_map,
+            )
+
+            new_of_old = csr_slot_map(Av, ip[rows_o], ip[cols_o])
+            self.nnz_perm = np.empty(Av.nnz, dtype=np.int64)
+            self.nnz_perm[new_of_old] = np.arange(Av.nnz)
+        self.pattern_v = Av
         self.coarsest_shift = float(coarsest_shift)
-        self._state = {
-            "plan": self.plan,
-            "P_ell": tuple(self.P_ell),
-            "PT_ell": tuple(self.PT_ell),
-        }
+        if self.well:
+            self.chain = WellRefreshChain(Av, Ps, dtype=dtype)
+            self._state = {
+                "chain": self.chain.state(),
+                "P_ell": tuple(ell_from_csr(P, dtype=dtype) for P in Ps),
+                "PT_ell": tuple(
+                    ell_from_csr(P.T.tocsr(), dtype=dtype) for P in Ps
+                ),
+            }
+            if self.nnz_perm is not None:
+                self._state["nnz_perm"] = jnp.asarray(self.nnz_perm)
+        else:
+            self.plan: GalerkinPlan = build_galerkin_plan(Av, Ps)
+            self._state = {
+                "plan": self.plan,
+                "P_ell": tuple(ell_from_csr(P, dtype=dtype) for P in Ps),
+                "PT_ell": tuple(
+                    ell_from_csr(P.T.tocsr(), dtype=dtype) for P in Ps
+                ),
+            }
         self._refresh = jax.jit(self._refresh_impl)
         self._solve = jax.jit(self._solve_impl, static_argnames=("max_iter",))
 
     # ------------------------------------------------------------------
+    def _lam(self, A, diag3, lv, n_levels, lam_in):
+        if self.cfg.smoother != SmootherType.CHEBYSHEV or lv >= n_levels - 1:
+            return None
+        if lam_in is not None and lam_in[lv] is not None:
+            return lam_in[lv]
+        return _bsr_device_lam_max(A, diag3)
+
+    def _refresh_well(self, state, B0_vals: jnp.ndarray,
+                      lam_in=None) -> BsrHierarchy:
+        """Value refresh via the windowed-kernel slot chain: zero dynamic
+        gathers on the value path (see solver/wellrefresh.py)."""
+        chain = self.chain
+        cst = state["chain"]
+        v = B0_vals.astype(self.dtype)
+        v9 = v.reshape(v.shape[0], 9).T  # planes [9, nnz], plane p = 3d+c
+        planes = chain.apply_planes(cst, v9)
+        dplanes = jnp.asarray([0, 4, 8])
+        levels = []
+        L = len(planes)
+        for lv, y9 in enumerate(planes):
+            n, w = chain.ell_shapes[lv]
+            blocks = y9.T.reshape(n, w, 3, 3)
+            diag3 = y9[dplanes][:, cst["diag_slots"][lv]].T  # [n, 3]
+            A = BSRMatrix(
+                indices=cst["ell_indices"][lv], blocks=blocks, n_cols=n
+            )
+            levels.append(
+                BsrLevel(
+                    A=A, diag=diag3,
+                    P=None if lv == 0 else state["P_ell"][lv - 1],
+                    PT=None if lv == 0 else state["PT_ell"][lv - 1],
+                    lam_max=self._lam(A, diag3, lv, L, lam_in),
+                )
+            )
+        # dense coarsest (3nc x 3nc) + Cholesky inverse (SPD refreshes)
+        nc, w = chain.ell_shapes[-1]
+        blocks = levels[-1].A.blocks
+        inv = self._coarse_inverse(nc, w, cst["ell_indices"][-1], blocks)
+        return BsrHierarchy(levels=tuple(levels), coarse_inv=inv)
+
+    def _coarse_inverse(self, nc, w, ell_indices, blocks):
+        r3 = (
+            3 * jnp.arange(nc)[:, None, None, None]
+            + jnp.arange(3)[None, None, :, None]
+        )  # [nc, 1, 3, 1]
+        c3 = (
+            3 * ell_indices[:, :, None, None]
+            + jnp.arange(3)[None, None, None, :]
+        )  # [nc, w, 1, 3]
+        r3b = jnp.broadcast_to(r3, (nc, w, 3, 3))
+        c3b = jnp.broadcast_to(c3, (nc, w, 3, 3))
+        dense = jnp.zeros((3 * nc, 3 * nc), dtype=self.dtype)
+        dense = dense.at[r3b, c3b].add(blocks)
+        dense = dense + self.coarsest_shift * jnp.eye(
+            3 * nc, dtype=self.dtype
+        )
+        chol = jnp.linalg.cholesky(dense)
+        return jax.scipy.linalg.cho_solve(
+            (chol, True), jnp.eye(3 * nc, dtype=self.dtype)
+        )
+
     def _refresh_impl(self, state, B0_vals: jnp.ndarray,
                       lam_in=None) -> BsrHierarchy:
+        if self.well:
+            return self._refresh_well(state, B0_vals, lam_in)
         plan = state["plan"]
         plans = [plan.lvl0, *plan.levels]
         levels_vals = refresh_block_values(plan, B0_vals.astype(self.dtype))
@@ -298,28 +416,15 @@ class BsrRefreshableSolver:
         pl_ = plans[-1]
         nc, w = pl_.ell_shape
         blocks, _ = levels_vals[-1]
-        r3 = (
-            3 * jnp.arange(nc)[:, None, None, None]
-            + jnp.arange(3)[None, None, :, None]
-        )  # [nc, 1, 3, 1]
-        c3 = (
-            3 * pl_.ell_indices[:, :, None, None]
-            + jnp.arange(3)[None, None, None, :]
-        )  # [nc, w, 1, 3]
-        r3b = jnp.broadcast_to(r3, (nc, w, 3, 3))
-        c3b = jnp.broadcast_to(c3, (nc, w, 3, 3))
-        dense = jnp.zeros((3 * nc, 3 * nc), dtype=self.dtype)
-        dense = dense.at[r3b, c3b].add(blocks)
-        dense = dense + self.coarsest_shift * jnp.eye(
-            3 * nc, dtype=self.dtype
-        )
-        chol = jnp.linalg.cholesky(dense)
-        inv = jax.scipy.linalg.cho_solve(
-            (chol, True), jnp.eye(3 * nc, dtype=self.dtype)
-        )
+        inv = self._coarse_inverse(nc, w, pl_.ell_indices, blocks)
         return BsrHierarchy(levels=tuple(levels), coarse_inv=inv)
 
     def _solve_impl(self, state, B0_vals, rhs, z0, tol, max_iter: int):
+        if "nnz_perm" in state:
+            # public path: caller's values are in the ORIGINAL pattern's
+            # canonical order; the stepper assembles directly in kernel
+            # order and calls _refresh_impl instead
+            B0_vals = B0_vals[state["nnz_perm"]]
         hier = self._refresh_impl(state, B0_vals)
         return bsr_solve_loop(hier, rhs, z0, tol, max_iter, self.cfg)
 
@@ -328,22 +433,31 @@ class BsrRefreshableSolver:
               max_iter: int = 20):
         """Refresh + iterate.  B0_vals [nnz_v, 3, 3]; rhs flat [3nv] or
         [nv, 3].  Returns (z flat [3nv] f64, r_his list, converged)."""
-        rhs = jnp.asarray(rhs)
         nv = self.pattern_v.shape[0]
-        rhs2 = rhs.reshape(nv, 3).astype(self.dtype)
+        rhs2 = np.asarray(rhs, dtype=np.float64).reshape(nv, 3)
         z02 = (
-            jnp.zeros_like(rhs2)
+            np.zeros_like(rhs2)
             if z0 is None
-            else jnp.asarray(z0).reshape(nv, 3).astype(self.dtype)
+            else np.asarray(z0, dtype=np.float64).reshape(nv, 3)
         )
+        if self.vperm is not None:
+            rhs2 = rhs2[self.vperm]
+            z02 = z02[self.vperm]
         z, r_his, k = self._solve(
-            self._state, jnp.asarray(B0_vals), rhs2, z02,
+            self._state, jnp.asarray(B0_vals),
+            jnp.asarray(rhs2, dtype=self.dtype),
+            jnp.asarray(z02, dtype=self.dtype),
             jnp.asarray(float(tolerance), dtype=self.dtype), max_iter,
         )
         k = int(k)
         r_list = [float(r) for r in np.asarray(r_his)[:k]]
+        z = np.asarray(z, dtype=np.float64)
+        if self.vperm is not None:
+            z_out = np.empty_like(z)
+            z_out[self.vperm] = z
+            z = z_out
         return (
-            np.asarray(z, dtype=np.float64).reshape(3 * nv),
+            z.reshape(3 * nv),
             r_list,
             bool(r_list and r_list[-1] <= tolerance),
         )

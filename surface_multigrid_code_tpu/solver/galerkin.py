@@ -140,8 +140,15 @@ def _ellize_segments(seg, idx, w, nnz_in, nnz_out, W_cap=32):
     )
 
 
-def _level_symbolic(A: sp.csr_matrix, P: sp.csr_matrix) -> LevelPlan:
-    """Expand PT @ A @ P into (triple index, weight, output segment)."""
+def galerkin_triples(A: sp.csr_matrix, P: sp.csr_matrix):
+    """Expand PT @ A @ P into sorted contribution triples.
+
+    Returns (seg, in_id, w, A_out): for each contribution, the OUTPUT nnz
+    segment id (ascending), the INPUT A-nnz id it reads, and the scalar
+    weight Pdat[a]*Pdat[c]; A_out is the coarse CSR pattern (zeros) whose
+    canonical nnz order defines the segment ids.  This is the raw form
+    both the gather plan (_level_symbolic) and the windowed-SpMV refresh
+    (solver/wellrefresh.py) are built from."""
     A = A.tocsr()
     A.sum_duplicates()
     P = P.tocsr()
@@ -184,11 +191,19 @@ def _level_symbolic(A: sp.csr_matrix, P: sp.csr_matrix) -> LevelPlan:
     A_out = sp.csr_matrix(
         (np.zeros(nnz_out), out_cols, indptr), shape=(nc, nc)
     )
-    gather, shape, indices, diag_idx = _ell_layout(A_out)
     Pdat = P.data
     w = Pdat[a[order]] * Pdat[c[order]]
+    return seg, b[order], w, A_out
+
+
+def _level_symbolic(A: sp.csr_matrix, P: sp.csr_matrix) -> LevelPlan:
+    """Expand PT @ A @ P into (triple index, weight, output segment)."""
+    seg, in_id, w, A_out = galerkin_triples(A, P)
+    nnzA = A.tocsr().nnz
+    nnz_out = A_out.nnz
+    gather, shape, indices, diag_idx = _ell_layout(A_out)
     gat_idx, gat_w, tail_idx, tail_w, tail_seg = _ellize_segments(
-        seg, b[order], w, nnzA, nnz_out
+        seg, in_id, w, nnzA, nnz_out
     )
     return LevelPlan(
         gat_idx=jnp.asarray(gat_idx),
