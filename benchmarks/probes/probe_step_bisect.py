@@ -17,6 +17,22 @@ Stages (run one per process: a fault kills the worker):
  14 hoisted refresh OUTSIDE loop + fori_loop(0,10) refresh (dual instantiation)
  15 stage 13 + hoisted lam refresh (full newton composition minus i/o permutes)
  16 stage 15 + input row-permutes and output .at[vp].set scatters (= stage 5)
+ 17 stage 15 but curPos0/fExt as JIT ARGS instead of closed-over constants
+    (stage 16 changed permutes AND args-vs-closure at once; 5 still crashes
+    with permutes hoisted to host, so args are the remaining suspect)
+ 18 stepper._step called directly (no outer jit wrapper), readback via sum
+ 19 stage 17 but curPos0/fExt threaded through the fori carry (loop-variant)
+    -> INTERNAL TPU backend error at runtime: carry-threading doesn't dodge it
+ 20 stage 17 with hoist=False (args, per-iteration lam power iteration)
+ 21 stage 17 with lam0 passed as PRECOMPUTED SCALAR args (hoist runs in a
+    separate jit dispatch) — the two-dispatch production fix candidate
+ 22 stage 17 with optimization_barrier around curPos0/fExt args
+ 23 stage 17 with optimization_barrier on the hoisted lam0 scalars
+    (single-dispatch candidate: 17/19/21 crash whenever loop-INVARIANT
+    traced lam reaches the in-loop Chebyshev refresh; 20 — loop-computed
+    lam — passes; 15 — constant lam — passes)
+ 24 stage 17 with the hoisted lam scalars THREADED through the fori
+    carry (loop-variant lam, single dispatch)
 Usage: python probe_step_bisect.py <stage> [mesh=bunny_15K_init]
 """
 import sys, time
@@ -138,15 +154,63 @@ def main(stage, mesh="bunny_15K_init"):
             return acc
         r = float(jax.jit(g)(st, x0, rhs))
         print("looped asm+refresh+solve ok", r, flush=True)
-    elif stage in (12, 13, 15, 16):
+    elif stage in (12, 13, 15, 16, 17, 19, 20, 21, 22, 23, 24):
         from _bisect_newton import make_run_newton
 
         dt = 1e-3
         run_newton = make_run_newton(
             jax, jnp, stepper, solver, bsr_solve_loop, shell, nv, dtype,
-            cfg, stage)
+            cfg, stage, barrier_lam=(stage == 23),
+            thread_lam=(stage == 24))
 
-        if stage == 16:
+        if stage in (17, 20, 21, 22, 23, 24):
+            lam_args = None
+            if stage == 21:
+                # hoist in a SEPARATE dispatch; pass scalars as args
+                def lamf(sst, curPos0):
+                    hier0 = solver._refresh_impl(
+                        sst["solver"],
+                        stepper._block_vals(sst, curPos0.reshape(-1)))
+                    return tuple(
+                        jnp.asarray(0.0, dtype)
+                        if lvl.lam_max is None else 1.2 * lvl.lam_max
+                        for lvl in hier0.levels)
+                lam_args = jax.jit(lamf)(st, jnp.asarray(Vp, dtype=dtype))
+                lam_args = tuple(
+                    None if i == len(lam_args) - 1 else v
+                    for i, v in enumerate(lam_args))
+                print("lam dispatch done", flush=True)
+
+            def g(sst, qdot0, curPos0, fExt, lam0=None):
+                if stage == 22:
+                    curPos0, fExt = jax.lax.optimization_barrier(
+                        (curPos0, fExt))
+                qdot, _ = run_newton(sst, curPos0, qdot0, fExt,
+                                     hoist=(stage in (17, 22, 23, 24)),
+                                     lam0=lam0)
+                return jnp.sum(qdot)
+            fEp = jnp.asarray(
+                np.asarray(fExt).reshape(-1, 3)[stepper._vperm]
+                .reshape(-1), dtype=dtype) if stepper._vperm is not None \
+                else fExt
+            r = float(jax.jit(g, static_argnames=())(
+                st, qd0, jnp.asarray(Vp, dtype=dtype), fEp, lam_args))
+        elif stage == 19:
+            run_newton19 = make_run_newton(
+                jax, jnp, stepper, solver, bsr_solve_loop, shell, nv,
+                dtype, cfg, stage, thread_invariants=True)
+
+            def g(sst, qdot0, curPos0, fExt):
+                qdot, _ = run_newton19(sst, curPos0, qdot0, fExt,
+                                       hoist=True)
+                return jnp.sum(qdot)
+            fEp = jnp.asarray(
+                np.asarray(fExt).reshape(-1, 3)[stepper._vperm]
+                .reshape(-1), dtype=dtype) if stepper._vperm is not None \
+                else fExt
+            r = float(jax.jit(g)(
+                st, qd0, jnp.asarray(Vp, dtype=dtype), fEp))
+        elif stage == 16:
             # mirror _step exactly: unpermuted args, permute inside jit
             def g(sst, curPos0u, qdot0u, fExtu):
                 vp = sst["vperm"]

@@ -256,8 +256,11 @@ class DeviceBalloonStepper:
             # margin (measured 0.24 s/refresh on bunny_15K; a LOW estimate
             # would amplify modes above the window, the margin only ever
             # widens it).  Cuts the bunny_15K step 7.5 -> 5.9 s.
+            # Well mode must NOT hoist: traced lam feeding the in-loop
+            # windowed-kernel refresh faults the TPU worker (see the
+            # BsrBalloonStepper stage-17/20/21/23/24 bisect note).
             lam0 = None
-            if cfg.smoother == SmootherType.CHEBYSHEV:
+            if cfg.smoother == SmootherType.CHEBYSHEV and not solver.well:
                 hier0 = solver._refresh_impl(
                     st["solver"], hess_vals(st, curPos0.reshape(-1))
                 )
@@ -500,6 +503,21 @@ class BsrBalloonStepper:
 
         self._block_vals = block_vals
 
+        # In well mode the hoisted Chebyshev lam_max refresh composed
+        # with the Newton fori_loop faults the TPU worker whenever the
+        # lam scalars reach the in-loop refresh as TRACED values
+        # (probe_step_bisect: stage 17 — in-program hoist — crashes;
+        # 21 — hoist in a separate dispatch, lam as jit args — crashes;
+        # 23 — optimization_barrier on lam — crashes; 24 — lam threaded
+        # through the fori carry — crashes; 15 — lam constant-folded —
+        # passes; 20 — lam recomputed INSIDE each Newton iteration —
+        # passes).  So well mode skips the hoist and lets each in-loop
+        # refresh run its own power iteration (stage-20 shape); non-well
+        # mode keeps the measured-0.24s/step hoist.
+        hoist_lam = (
+            cfg.smoother == SmootherType.CHEBYSHEV and not solver.well
+        )
+
         def step(st, curPos0, qdot0, fExt):
             # NOTE: in well mode every [nv, *] input is already in the
             # solver's permuted vertex order (the public step() permutes
@@ -511,10 +529,8 @@ class BsrBalloonStepper:
             fExt = fExt.astype(dtype)
             Md = st["Mdiag"]
 
-            # hoist the Chebyshev lam_max power iterations out of the
-            # Newton loop (see DeviceBalloonStepper)
             lam0 = None
-            if cfg.smoother == SmootherType.CHEBYSHEV:
+            if hoist_lam:
                 hier0 = solver._refresh_impl(
                     st["solver"], block_vals(st, curPos0.reshape(-1))
                 )
