@@ -140,10 +140,16 @@ def main():
         stepper = BsrBalloonStepper(shell, Mb, mg_v, 1e-3, mg_tolerance=2e-1)
         Nrm = vertex_normals(Vb, Fb)
         Mvd = np.asarray(massmatrix(Vb, Fb, kind="voronoi").diagonal())
-        fExt = jnp.asarray(
-            (-(Nrm * Mvd[:, None]) * 1e6).reshape(-1), dtype=stepper.dtype
-        )
-        xv = jnp.asarray(Vb, dtype=stepper.dtype)
+        fExt3 = -(Nrm * Mvd[:, None]) * 1e6
+        Vp = Vb
+        # the private jitted _step runs in the solver's permuted vertex
+        # order (well mode); unpermuted inputs scramble the geometry ->
+        # Chebyshev nan -> wrong line-search while_loop trip counts
+        if stepper._vperm is not None:
+            Vp = Vb[stepper._vperm]
+            fExt3 = fExt3[stepper._vperm]
+        fExt = jnp.asarray(fExt3.reshape(-1), dtype=stepper.dtype)
+        xv = jnp.asarray(Vp, dtype=stepper.dtype)
         qd0 = jnp.zeros(3 * Vb.shape[0], dtype=stepper.dtype)
         # readback-forced (eager sum + float()): the step is seconds-scale
         # and one dispatch, so the ~29 ms scalar roundtrip is noise here

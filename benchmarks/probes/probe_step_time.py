@@ -5,14 +5,18 @@ CHAINED steps, time float(...) at two K values, report the slope — this
 cancels the ~29 ms scalar-roundtrip + dispatch overhead and defeats the
 axon block_until_ready lie.
 
-Usage: python probe_step_time.py [well={1,0}] [mesh=bunny_15K_init]
+Usage: python probe_step_time.py [well={1,0}] [mesh=bunny_15K_init] [scale]
+
+`scale` is the pressure-force multiplier; the default 1e6 blows the f32
+trajectory up by step ~2-3 (nan), which corrupts chained-step slopes by
+changing line-search while_loop trip counts — use ~1e5 for k>1 chains.
 """
 import sys, time
 sys.path.insert(0, ".")
 import numpy as np
 
 
-def main(well="1", mesh="bunny_15K_init"):
+def main(well="1", mesh="bunny_15K_init", scale="1e6"):
     import jax, jax.numpy as jnp
     from surface_multigrid_code_tpu.models.balloon import (
         BsrBalloonStepper, lumped_mass_matrix, vertex_normals)
@@ -36,9 +40,18 @@ def main(well="1", mesh="bunny_15K_init"):
     nv = V.shape[0]
     Nrm = vertex_normals(V, F)
     Mvd = np.asarray(massmatrix(V, F, kind="voronoi").diagonal())
-    fExt = jnp.asarray((-(Nrm * Mvd[:, None]) * 1e6).reshape(-1),
-                       dtype=stepper.dtype)
-    xv = jnp.asarray(V, dtype=stepper.dtype)
+    fExt3 = -(Nrm * Mvd[:, None]) * float(scale)
+    Vp = V
+    # the private jitted _step runs ENTIRELY in the solver's permuted
+    # vertex order (well mode); unpermuted inputs evaluate the Hessian on
+    # scrambled geometry -> indefinite matrix -> Chebyshev nan, which
+    # changes line-search while_loop trip counts and corrupts the timing
+    # (CLAUDE.md round-2 notes).
+    if stepper._vperm is not None:
+        Vp = V[stepper._vperm]
+        fExt3 = fExt3[stepper._vperm]
+    fExt = jnp.asarray(fExt3.reshape(-1), dtype=stepper.dtype)
+    xv = jnp.asarray(Vp, dtype=stepper.dtype)
     qd0 = jnp.zeros(3 * nv, dtype=stepper.dtype)
     st = stepper._state
 

@@ -280,9 +280,26 @@ class WellHaloHierarchy:
         L = len(lvl_args)
         hlos, hhis, reps, Rs = self.hlos, self.hhis, self.reps, self.Rs
 
+        def wap(Ws, xx, **kw):
+            """well_apply, mapped over trailing RHS columns at trace time
+            (the kernel is 1-D; C is static and small — MCF solves C=3).
+            2-D `b`/`u` epilogue operands are sliced per column; the
+            diag scale `s` is shared."""
+            if xx.ndim == 1:
+                return well_apply(Ws, xx, unpadded=False, **kw)
+            cols = []
+            for j in range(xx.shape[1]):
+                kwj = {
+                    k: (v[:, j] if k in ("b", "u") and v is not None else v)
+                    for k, v in kw.items()
+                }
+                cols.append(well_apply(Ws, xx[:, j], unpadded=False, **kwj))
+            return jnp.stack(cols, axis=1)
+
         def exchange(lv, x_l):
             if reps[lv]:
-                return jax.lax.all_gather(x_l, "rows").reshape(-1)
+                g = jax.lax.all_gather(x_l, "rows")
+                return g.reshape((-1,) + x_l.shape[1:])
             parts = []
             lo, hi = hlos[lv], hhis[lv]
             if lo:
@@ -303,58 +320,53 @@ class WellHaloHierarchy:
                 lam_min = lam_max / 4.0
                 theta = 0.5 * (lam_max + lam_min)
                 delta = 0.5 * (lam_max - lam_min)
-                r = well_apply(la["Aw"], exchange(lv, u_l),
-                               epi="resid_scaled", b=b_l, s=sdinv,
-                               unpadded=False)
+                r = wap(la["Aw"], exchange(lv, u_l),
+                        epi="resid_scaled", b=b_l, s=sdinv)
                 d = r / theta
                 u_l = u_l + d
                 sigma = theta / delta
                 rho = 1.0 / sigma
                 for _ in range(n_iter - 1):
                     rho_new = 1.0 / (2.0 * sigma - rho)
-                    r = well_apply(la["Aw"], exchange(lv, u_l),
-                                   epi="resid_scaled", b=b_l, s=sdinv,
-                                   unpadded=False)
+                    r = wap(la["Aw"], exchange(lv, u_l),
+                            epi="resid_scaled", b=b_l, s=sdinv)
                     d = rho_new * rho * d + (2.0 * rho_new / delta) * r
                     u_l = u_l + d
                     rho = rho_new
                 return u_l
             for _ in range(n_iter):
-                u_l = well_apply(la["Aw"], exchange(lv, u_l), epi="axpby",
-                                 u=u_l, b=b_l, s=sdinv,
-                                 escale=cfg.jacobi_weight, unpadded=False)
+                u_l = wap(la["Aw"], exchange(lv, u_l), epi="axpby",
+                          u=u_l, b=b_l, s=sdinv, escale=cfg.jacobi_weight)
             return u_l
 
         def vcycle(lv, b_l, u_l):
             la = lvl_args[lv]
             if lv == L - 1:
-                b_all = jax.lax.all_gather(b_l, "rows").reshape(-1)
+                g = jax.lax.all_gather(b_l, "rows")
+                b_all = g.reshape((-1,) + b_l.shape[1:])
                 u_all = coarse_inv @ b_all
                 me = jax.lax.axis_index("rows")
-                return u_l + jax.lax.dynamic_slice(
-                    u_all, (me * Rs[lv],), (Rs[lv],))
+                return u_l + jax.lax.dynamic_slice_in_dim(
+                    u_all, me * Rs[lv], Rs[lv], axis=0)
             sdinv = 1.0 / la["diag"]
             u_l = smooth(lv, b_l, u_l, cfg.pre_relax_iter, sdinv)
-            r_l = well_apply(la["Aw"], exchange(lv, u_l), epi="resid",
-                             b=b_l, unpadded=False)
+            r_l = wap(la["Aw"], exchange(lv, u_l), epi="resid", b=b_l)
             nxt = lvl_args[lv + 1]
             if self.ptcols[lv]:
-                part = well_apply(nxt["PTw"], r_l, unpadded=False)
+                part = wap(nxt["PTw"], r_l)
                 rc_full = jax.lax.psum(part, "rows")
                 me = jax.lax.axis_index("rows")
-                rc = jax.lax.dynamic_slice(
-                    rc_full, (me * Rs[lv + 1],), (Rs[lv + 1],))
+                rc = jax.lax.dynamic_slice_in_dim(
+                    rc_full, me * Rs[lv + 1], Rs[lv + 1], axis=0)
             else:
-                rc = well_apply(nxt["PTw"], exchange(lv, r_l),
-                                unpadded=False)
+                rc = wap(nxt["PTw"], exchange(lv, r_l))
             uc = vcycle(lv + 1, rc, jnp.zeros_like(rc))
-            u_l = well_apply(nxt["Pw"], exchange(lv + 1, uc), epi="add",
-                             u=u_l, unpadded=False)
+            u_l = wap(nxt["Pw"], exchange(lv + 1, uc), epi="add", u=u_l)
             return smooth(lv, b_l, u_l, cfg.post_relax_iter, sdinv)
 
         def resid_norm(z_l):
-            r = well_apply(lvl_args[0]["Aw"], exchange(0, z_l), epi="resid",
-                           b=rhs_l, unpadded=False)
+            r = wap(lvl_args[0]["Aw"], exchange(0, z_l), epi="resid",
+                    b=rhs_l)
             return jnp.sqrt(jax.lax.psum((r * r).sum(), "rows"))
 
         def cond(state):
@@ -417,18 +429,16 @@ class WellHaloHierarchy:
         ]
 
     def solve(self, rhs, z0=None, tolerance=1e-3, max_iter=20):
-        """Mirror of HaloHierarchy.solve (1-D RHS; multi-column RHS stays
-        on the ELL halo path)."""
+        """Mirror of HaloHierarchy.solve.  1-D or multi-column RHS; for
+        [n, C] systems the stop criterion is the Frobenius residual norm
+        shared across columns, matching solver/vcycle.solve_loop and
+        the reference loop (src/min_quad_with_fixed_mg.cpp:330-347)."""
         rhs = np.asarray(rhs, dtype=np.float64)
-        if rhs.ndim != 1:
-            raise NotImplementedError(
-                "WellHaloHierarchy solves 1-D RHS; use parallel/halo.py "
-                "for multi-column systems"
-            )
         n_pad = self.Rs[0] * self.D
-        rhs_p = np.zeros(n_pad)
+        tail = rhs.shape[1:]
+        rhs_p = np.zeros((n_pad,) + tail)
         rhs_p[: self.n0] = rhs[self.perm0]
-        z0_p = np.zeros(n_pad)
+        z0_p = np.zeros((n_pad,) + tail)
         if z0 is not None:
             z0_p[: self.n0] = np.asarray(z0, dtype=np.float64)[self.perm0]
         fn = self._get_sm(int(max_iter))
@@ -440,6 +450,6 @@ class WellHaloHierarchy:
         )
         k = int(k)
         r_list = [float(r) for r in np.asarray(r_his)[:k]]
-        z_out = np.empty(self.n0)
+        z_out = np.empty((self.n0,) + tail)
         z_out[self.perm0] = np.asarray(z, dtype=np.float64)[: self.n0]
         return z_out, r_list, bool(r_list and r_list[-1] <= tolerance)

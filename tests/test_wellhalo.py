@@ -65,7 +65,7 @@ def test_wellhalo_chebyshev_converges():
     assert np.linalg.norm(As[0] @ z - rhs) < 1e-9
 
 
-def test_wellhalo_rejects_multicolor_and_multicolumn():
+def test_wellhalo_rejects_multicolor():
     As, Ps, rhs = hierarchy_system(depth=3)
     mesh = make_row_mesh(2)
     with pytest.raises(NotImplementedError):
@@ -74,9 +74,27 @@ def test_wellhalo_rejects_multicolor_and_multicolumn():
             cfg=SolveConfig(smoother=SmootherType.MULTICOLOR_GS),
             dtype=jnp.float64,
         )
-    hier = WellHaloHierarchy(
-        As, Ps, mesh, cfg=SolveConfig(smoother=SmootherType.JACOBI),
-        dtype=jnp.float64,
-    )
-    with pytest.raises(NotImplementedError):
-        hier.solve(np.stack([rhs, rhs], axis=1))
+
+
+def test_wellhalo_multicolumn_matches_ell_halo():
+    """[n, 3] RHS (the MCF shape): residual history and solution must
+    match the ELL halo path's multi-column solve, and distinct columns
+    must solve to their own solutions."""
+    As, Ps, rhs = hierarchy_system(depth=3)
+    mesh = make_row_mesh(2)
+    cfg = SolveConfig(smoother=SmootherType.JACOBI)
+    rng = np.random.default_rng(7)
+    RHS = np.stack([rhs, 2.0 * rhs, rng.standard_normal(rhs.shape[0])], 1)
+    h0 = HaloHierarchy(As, Ps, mesh, cfg=cfg, dtype=jnp.float64)
+    h1 = WellHaloHierarchy(As, Ps, mesh, cfg=cfg, dtype=jnp.float64)
+    z0, r0, ok0 = h0.solve(RHS, tolerance=1e-8, max_iter=25)
+    z1, r1, ok1 = h1.solve(RHS, tolerance=1e-8, max_iter=25)
+    assert ok0 and ok1
+    assert z1.shape == RHS.shape
+    assert len(r0) == len(r1)
+    # 3-column Frobenius norms accumulate a little more f64
+    # reduction-order noise than the 1-D case's rtol 1e-8
+    np.testing.assert_allclose(r1, r0, rtol=1e-6)
+    np.testing.assert_allclose(z1, z0, rtol=0, atol=1e-9)
+    for j in range(3):
+        assert np.linalg.norm(As[0] @ z1[:, j] - RHS[:, j]) < 1e-7
