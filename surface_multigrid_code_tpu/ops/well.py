@@ -638,9 +638,13 @@ def any_spmv(A, x: jnp.ndarray) -> jnp.ndarray:
     """SpMV dispatch: WellMatrix (or a tuple of band slices) -> Pallas
     kernel, ELLMatrix -> XLA gather.
 
-    Multi-column x runs the kernel once per column (nrhs is small — 1 to 3
-    in every solver path)."""
+    Multi-column x batches all C columns through ONE kernel call (the
+    select chain's one-hot masks are column-independent and shared;
+    see well_spmv_planes) — the multi-RHS shape of the MCF solve,
+    reference src/min_quad_with_fixed_mg.cpp:363-373."""
     if isinstance(A, tuple):
+        if isinstance(A[0], WellMatrix) and x.ndim == 2 and x.shape[1] > 1:
+            return well_apply(A, x.T).T
         y = any_spmv(A[0], x)
         for Wi in A[1:]:
             y = y + any_spmv(Wi, x)
@@ -648,8 +652,9 @@ def any_spmv(A, x: jnp.ndarray) -> jnp.ndarray:
     if isinstance(A, WellMatrix):
         if x.ndim == 1:
             return well_spmv(A, x)
-        cols = [well_spmv(A, x[:, j]) for j in range(x.shape[1])]
-        return jnp.stack(cols, axis=1)
+        if x.shape[1] == 1:
+            return well_spmv(A, x[:, 0])[:, None]
+        return well_spmv_planes(A, x.T).T
     from surface_multigrid_code_tpu.ops.sparse import ell_spmv
 
     return ell_spmv(A, x)
@@ -674,6 +679,13 @@ def _as_tiles(v: jnp.ndarray, nb: int) -> jnp.ndarray:
 #   add:          y = u + (Ax + acc)                      ops=(u,)
 #   resid_scaled: y = (b - (Ax + acc)) * s * escale       ops=(b, s)
 _EPI_NOPS = {None: 0, "axpby": 3, "resid": 1, "add": 1, "resid_scaled": 2}
+# operand kinds in PLANES (multi-column) mode: "p" operands carry one
+# plane per column ([C, n]: u, b), "s" operands are column-shared ([n]:
+# the diag-scale s, which is the same for every RHS column)
+_EPI_KINDS = {
+    None: (), "axpby": ("p", "p", "s"), "resid": ("p",), "add": ("p",),
+    "resid_scaled": ("p", "s"),
+}
 
 
 def _apply_epi(acc, ex, epi, escale, y_ref):
@@ -699,23 +711,51 @@ def _apply_epi(acc, ex, epi, escale, y_ref):
     y_ref[:, :] = out
 
 
+def _plane_tiles(v: jnp.ndarray, nb: int) -> jnp.ndarray:
+    """Planes [C, n] (zero-padded semantics) or already-tiled
+    [C, nb*SUB, LANE] -> plane row tiles [C, nb*SUB, LANE]."""
+    if v.ndim == 3:
+        return v
+    if v.shape[1] != nb * B_ROWS:
+        out = jnp.zeros((v.shape[0], nb * B_ROWS), dtype=v.dtype)
+        v = jax.lax.dynamic_update_slice(out, v, (0, 0))
+    return v.reshape(v.shape[0], nb * SUB, LANE)
+
+
 def well_apply(
     Ws, x: jnp.ndarray, epi: str | None = None, b=None, u=None, s=None,
     escale: float = 1.0, unpadded: bool = True,
 ) -> jnp.ndarray:
     """Fused windowed SpMV + epilogue over a WellMatrix or tuple of slot/
-    band groups (1-D x). Partial group sums chain through the kernel's
-    acc input; the epilogue (see _apply_epi) runs in the LAST group's
-    kernel, so a whole smoother update is ONE Pallas call per group with
-    no XLA elementwise ops between. b/u/s may be flat [n] (zero-padded
-    into tiles) or pre-tiled [nb*SUB, LANE]; s must be zero-padded past
-    the logical rows so padded rows stay zero."""
+    band groups. Partial group sums chain through the kernel's acc input;
+    the epilogue (see _apply_epi) runs in the LAST group's kernel, so a
+    whole smoother update is ONE Pallas call per group with no XLA
+    elementwise ops between.
+
+    1-D x: b/u/s may be flat [n] (zero-padded into tiles) or pre-tiled
+    [nb*SUB, LANE]. 2-D x: PLANES mode, x is [C, n] (one row per RHS
+    column); b/u are planes [C, n] (or [C, nb*SUB, LANE] tiles) while s
+    stays column-shared flat [n]; returns planes [C, n_rows]. s must be
+    zero-padded past the logical rows so padded rows stay zero."""
     Ws = Ws if isinstance(Ws, tuple) else (Ws,)
     nb = Ws[0].nb
     operands = {
         None: (), "axpby": (u, b, s), "resid": (b,), "add": (u,),
         "resid_scaled": (b, s),
     }[epi]
+    if x.ndim == 2:
+        kinds = _EPI_KINDS[epi]
+        ops = tuple(
+            _plane_tiles(v, nb) if k == "p" else _as_tiles(v, nb)
+            for v, k in zip(operands, kinds)
+        )
+        acc = None
+        for W in Ws[:-1]:
+            acc = well_spmv_planes(W, x, unpadded=False, acc=acc)
+        return well_spmv_planes(
+            Ws[-1], x, unpadded=unpadded, epi=epi, escale=escale, acc=acc,
+            ops=ops,
+        )
     ops = tuple(_as_tiles(v, nb) for v in operands)
     acc = None
     for W in Ws[:-1]:
@@ -1066,3 +1106,401 @@ def well_spmv(W: WellMatrix, x: jnp.ndarray, unpadded: bool = True,
     )(W.rb, W.hb, W.hi, W.lo, W.dat, *ex_in, x2d)
     y = y2d.reshape(-1)
     return y[: W.n_rows] if unpadded else y
+
+
+def _apply_epi_planes(accs, ex, ex_kinds, epi, escale, y_ref):
+    """Planes-mode epilogue: accs is a list of C [SUB, LANE] accumulators;
+    ex are the extra operand refs in order, each percol [C, SUB, LANE]
+    ("p") or column-shared [SUB, LANE] ("s") per ex_kinds. A leading "p"
+    acc input (chained partial sums) is folded in first."""
+    C = len(accs)
+    n_epi = len(_EPI_KINDS[epi])
+    if len(ex) > n_epi:                       # leading percol acc input
+        accs = [a + ex[0][c, :, :] for c, a in enumerate(accs)]
+        ex = ex[1:]
+        ex_kinds = ex_kinds[1:]
+
+    def op(i, c):
+        return ex[i][c, :, :] if ex_kinds[i] == "p" else ex[i][:, :]
+
+    for c in range(C):
+        acc = accs[c]
+        if epi is None:
+            out = acc
+        elif epi == "axpby":
+            out = op(0, c) + (op(1, c) - acc) * (op(2, c) * escale)
+        elif epi == "resid":
+            out = op(0, c) - acc
+        elif epi == "add":
+            out = op(0, c) + acc
+        elif epi == "resid_scaled":
+            out = (op(0, c) - acc) * (op(1, c) * escale)
+        else:  # pragma: no cover
+            raise ValueError(f"unknown epilogue {epi!r}")
+        y_ref[c, :, :] = out
+
+
+@partial(jax.jit, static_argnames=("unpadded", "interpret", "epi", "escale"))
+def well_spmv_planes(
+    W: WellMatrix, xp: jnp.ndarray, unpadded: bool = True,
+    interpret: bool = False, epi: str | None = None,
+    escale: float = 1.0, acc=None, ops: tuple = (),
+):
+    """Multi-RHS windowed SpMV: y[c] = epilogue(A @ xp[c] (+ acc[c])) for
+    all C columns in ONE kernel call (multi-RHS batching; VERDICT round-2
+    item 1, reference multi-column solve src/min_quad_with_fixed_mg.cpp:
+    363-373).
+
+    xp: planes [C, n_cols] (or [C, XR*LANE] zero-tail padded — the tiled
+    V-cycle flow). Returns planes [C, n_rows] ([C, nb*B_ROWS] padded).
+
+    Why one kernel beats C calls: the select chain's sublane one-hot
+    masks (hi == h) are column-INDEPENDENT — they are computed once and
+    reused across the C takes/selects — and the hi/lo/dat tiles, window
+    DMA descriptors and kernel launch are all shared. acc: optional
+    [C, nb*B_ROWS] planes (or [C, nb*SUB, LANE] tiles) of partial sums.
+    ops: epilogue operands, percol as [C, nb*SUB, LANE], shared as
+    [nb*SUB, LANE] (see _EPI_KINDS / well_apply)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    interpret = interpret or jax.default_backend() == "cpu"
+
+    nb, w, H, XR = W.nb, W.w, W.H, W.XR
+    C = xp.shape[0]
+    if W.xpad == 0 and xp.shape[1] == XR * LANE:
+        x2d = xp.astype(W.dat.dtype).reshape(C, XR, LANE)
+    else:
+        x_pad = jnp.zeros((C, XR * LANE), dtype=W.dat.dtype)
+        x_pad = jax.lax.dynamic_update_slice(
+            x_pad, xp.astype(W.dat.dtype), (0, W.xpad * B_ROWS)
+        )
+        x2d = x_pad.reshape(C, XR, LANE)
+
+    ex_in = ()
+    ex_kinds = ()
+    if acc is not None:
+        ex_in += (_plane_tiles(acc, nb).astype(W.dat.dtype),)
+        ex_kinds += ("p",)
+    ex_in += tuple(t.astype(W.dat.dtype) for t in ops)
+    ex_kinds += _EPI_KINDS[epi]
+    n_ex = len(ex_in)
+
+    def ex_spec(kind):
+        if kind == "p":
+            return pl.BlockSpec((C, SUB, LANE), lambda b, *pf: (0, b, 0))
+        return pl.BlockSpec((SUB, LANE), lambda b, *pf: (b, 0))
+
+    out_spec = pl.BlockSpec((C, SUB, LANE), lambda b, *pf: (0, b, 0))
+    out_shape = jax.ShapeDtypeStruct((C, nb * SUB, LANE), W.dat.dtype)
+    mat_spec = pl.BlockSpec((w * SUB, LANE), lambda b, *pf: (b, 0))
+
+    def finish(y3d):
+        y = y3d.reshape(C, nb * B_ROWS)
+        return y[:, : W.n_rows] if unpadded else y
+
+    if W.q is not None and W.q[1] == 1 and W.q[0] > 1:
+        # phase-split integer-slope mode: C x qn phase planes folded into
+        # one leading scratch dim (plane c*qn + p), same per-candidate
+        # static 8-row slices as the single-column diaq kernel.
+        qn = W.q[0]
+        AL = SUB * qn
+        D = W.ht
+        Tq = [(-(-D[k] // qn) + 14) // 8 for k in range(w)]
+        Hp8 = H // AL
+        XRq8 = XR // AL
+        xq = (
+            x2d.reshape(C, XRq8 * SUB, qn, LANE)
+            .transpose(0, 2, 1, 3)
+            .reshape(C * qn, XRq8, SUB, LANE)
+        )
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nb,),
+            in_specs=[mat_spec, mat_spec, mat_spec]
+            + [ex_spec(k) for k in ex_kinds]
+            + [pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=out_spec,
+            scratch_shapes=[
+                pltpu.VMEM((C * qn, Hp8, SUB, LANE), W.dat.dtype),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        )
+
+        def diaq_kernel(*refs):
+            rb_ref, ob_ref, hi_ref, lo_ref, dat_ref = refs[:5]
+            ex = refs[5:5 + n_ex]
+            x_hbm, y_ref, win, sem = refs[5 + n_ex:]
+            b = pl.program_id(0)
+            rbt = rb_ref[b]
+            cp = pltpu.make_async_copy(
+                x_hbm.at[:, pl.ds(rbt, Hp8), :, :], win, sem
+            )
+            cp.start()
+            cp.wait()
+            accs = [
+                jnp.zeros((SUB, LANE), dtype=y_ref.dtype) for _ in range(C)
+            ]
+            for k in range(w):
+                otq = ob_ref[b * w + k]
+                ddk = hi_ref[k * SUB:(k + 1) * SUB, :]
+                lok = lo_ref[k * SUB:(k + 1) * SUB, :]
+                datk = dat_ref[k * SUB:(k + 1) * SUB, :]
+                gs = [
+                    jnp.zeros((SUB, LANE), dtype=x_hbm.dtype)
+                    for _ in range(C)
+                ]
+                for p in range(qn):
+                    nj = -(-(D[k] - p) // qn)
+                    if nj <= 0:
+                        continue
+                    V2s = [
+                        win[c * qn + p, pl.ds(otq, Tq[k]), :, :].reshape(
+                            Tq[k] * SUB, LANE
+                        )
+                        for c in range(C)
+                    ]
+                    for j in range(nj):
+                        mask = ddk == p + qn * j
+                        for c in range(C):
+                            tile = jax.lax.slice(
+                                V2s[c], (j, 0), (j + SUB, LANE)
+                            )
+                            t = jnp.take_along_axis(tile, lok, axis=1)
+                            gs[c] = jnp.where(mask, t, gs[c])
+                accs = [a + datk * g for a, g in zip(accs, gs)]
+            _apply_epi_planes(accs, ex, ex_kinds, epi, escale, y_ref)
+
+        y3d = pl.pallas_call(
+            diaq_kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(W.rb, W.ob, W.hi, W.lo, W.dat, *ex_in, xq)
+        return finish(y3d)
+
+    if W.q is not None:
+        # diagonal mode, one plane per column
+        qn, qd = W.q
+        D = W.ht
+        qf7 = (qn * (SUB - 1)) // qd
+        T = [(D[k] - 1 + qf7) // 8 + 1 for k in range(w)]
+        H8 = H // SUB
+        XR8 = XR // SUB
+        x4d = x2d.reshape(C, XR8, SUB, LANE)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nb,),
+            in_specs=[mat_spec, mat_spec, mat_spec]
+            + [ex_spec(k) for k in ex_kinds]
+            + [pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=out_spec,
+            scratch_shapes=[
+                pltpu.VMEM((C, H8, SUB, LANE), W.dat.dtype),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        )
+
+        def dia_kernel(*refs):
+            rb_ref, ob_ref, hi_ref, lo_ref, dat_ref = refs[:5]
+            ex = refs[5:5 + n_ex]
+            x_hbm, y_ref, win, sem = refs[5 + n_ex:]
+            b = pl.program_id(0)
+            rb0t = rb_ref[b] // SUB
+            cp = pltpu.make_async_copy(
+                x_hbm.at[:, pl.ds(rb0t, H8), :, :], win, sem
+            )
+            cp.start()
+            cp.wait()
+            accs = [
+                jnp.zeros((SUB, LANE), dtype=y_ref.dtype) for _ in range(C)
+            ]
+            for k in range(w):
+                ot = ob_ref[b * w + k]
+                ddk = hi_ref[k * SUB:(k + 1) * SUB, :]
+                lok = lo_ref[k * SUB:(k + 1) * SUB, :]
+                datk = dat_ref[k * SUB:(k + 1) * SUB, :]
+                V2s = [
+                    win[c, pl.ds(ot, T[k]), :, :].reshape(T[k] * SUB, LANE)
+                    for c in range(C)
+                ]
+                gs = [
+                    jnp.zeros((SUB, LANE), dtype=x_hbm.dtype)
+                    for _ in range(C)
+                ]
+                for d in range(D[k]):
+                    mask = ddk == d
+                    for c in range(C):
+                        if qd == 1:
+                            tile_d = jax.lax.slice(
+                                V2s[c], (d, 0),
+                                (d + (SUB - 1) * qn + 1, LANE), (qn, 1),
+                            )
+                        else:
+                            parts = []
+                            j, srow = 0, 0
+                            while srow < SUB:
+                                cnt = min(qd, SUB - srow)
+                                parts.append(jnp.broadcast_to(
+                                    V2s[c][d + j:d + j + 1, :], (cnt, LANE)))
+                                j += 1
+                                srow += cnt
+                            tile_d = jnp.concatenate(parts, axis=0)
+                        t = jnp.take_along_axis(tile_d, lok, axis=1)
+                        gs[c] = jnp.where(mask, t, gs[c])
+                accs = [a + datk * g for a, g in zip(accs, gs)]
+            _apply_epi_planes(accs, ex, ex_kinds, epi, escale, y_ref)
+
+        y3d = pl.pallas_call(
+            dia_kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(W.rb, W.ob, W.hi, W.lo, W.dat, *ex_in, x4d)
+        return finish(y3d)
+
+    if W.ht is not None:
+        # tap-recentered mode, one plane per column
+        ht = W.ht
+        H8 = H // SUB
+        XR8 = XR // SUB
+        x4d = x2d.reshape(C, XR8, SUB, LANE)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nb,),
+            in_specs=[mat_spec, mat_spec, mat_spec]
+            + [ex_spec(k) for k in ex_kinds]
+            + [pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=out_spec,
+            scratch_shapes=[
+                pltpu.VMEM((C, H8, SUB, LANE), W.dat.dtype),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        )
+
+        def tap_kernel(*refs):
+            rb_ref, ob_ref, hi_ref, lo_ref, dat_ref = refs[:5]
+            ex = refs[5:5 + n_ex]
+            x_hbm, y_ref, win, sem = refs[5 + n_ex:]
+            b = pl.program_id(0)
+            rb0 = rb_ref[b] // SUB
+            cp = pltpu.make_async_copy(
+                x_hbm.at[:, pl.ds(rb0, H8), :, :], win, sem
+            )
+            cp.start()
+            cp.wait()
+            accs = [
+                jnp.zeros((SUB, LANE), dtype=y_ref.dtype) for _ in range(C)
+            ]
+            for k in range(w):
+                o = ob_ref[b * w + k] // SUB
+                hik = hi_ref[k * SUB:(k + 1) * SUB, :]
+                lok = lo_ref[k * SUB:(k + 1) * SUB, :]
+                datk = dat_ref[k * SUB:(k + 1) * SUB, :]
+                subs = [
+                    win[c, pl.ds(o, ht[k] // SUB), :, :] for c in range(C)
+                ]
+                gs = [
+                    jnp.zeros((SUB, LANE), dtype=x_hbm.dtype)
+                    for _ in range(C)
+                ]
+                for h in range(ht[k]):
+                    mask = hik == h
+                    for c in range(C):
+                        row_b = jnp.broadcast_to(
+                            subs[c][h // SUB, h % SUB].reshape(1, LANE),
+                            (SUB, LANE),
+                        )
+                        t = jnp.take_along_axis(row_b, lok, axis=1)
+                        gs[c] = jnp.where(mask, t, gs[c])
+                accs = [a + datk * g for a, g in zip(accs, gs)]
+            _apply_epi_planes(accs, ex, ex_kinds, epi, escale, y_ref)
+
+        y3d = pl.pallas_call(
+            tap_kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(W.rb, W.ob, W.hi, W.lo, W.dat, *ex_in, x4d)
+        return finish(y3d)
+
+    # legacy whole-block-window mode
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nb,),
+        in_specs=[mat_spec, mat_spec, mat_spec]
+        + [ex_spec(k) for k in ex_kinds]
+        + [pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=out_spec,
+        scratch_shapes=[
+            pltpu.VMEM((C, H, LANE), W.dat.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+
+    unrolled = w * H <= _UNROLL_CAP
+
+    def kernel(*refs):
+        rb_ref, hb_ref, hi_ref, lo_ref, dat_ref = refs[:5]
+        ex = refs[5:5 + n_ex]
+        x_hbm, y_ref, win, sem = refs[5 + n_ex:]
+        b = pl.program_id(0)
+        rb0 = rb_ref[b]
+        span = hb_ref[b]
+        cp = pltpu.make_async_copy(
+            x_hbm.at[:, pl.ds(rb0, H), :], win, sem
+        )
+        cp.start()
+        cp.wait()
+        accs = [
+            jnp.zeros((SUB, LANE), dtype=y_ref.dtype) for _ in range(C)
+        ]
+        for k in range(w):
+            hik = hi_ref[k * SUB:(k + 1) * SUB, :]
+            lok = lo_ref[k * SUB:(k + 1) * SUB, :]
+            datk = dat_ref[k * SUB:(k + 1) * SUB, :]
+            if unrolled:
+                gs = [
+                    jnp.zeros((SUB, LANE), dtype=x_hbm.dtype)
+                    for _ in range(C)
+                ]
+                for h in range(H):
+                    mask = hik == h
+                    for c in range(C):
+                        row_b = jnp.broadcast_to(
+                            win[c, h, :].reshape(1, LANE), (SUB, LANE)
+                        )
+                        t = jnp.take_along_axis(row_b, lok, axis=1)
+                        gs[c] = jnp.where(mask, t, gs[c])
+            else:
+                def h_step(h, gs, hik=hik, lok=lok):
+                    mask = hik == h
+                    out = []
+                    for c in range(C):
+                        row_b = jnp.broadcast_to(
+                            win[c, pl.ds(h, 1), :], (SUB, LANE)
+                        )
+                        t = jnp.take_along_axis(row_b, lok, axis=1)
+                        out.append(jnp.where(mask, t, gs[c]))
+                    return tuple(out)
+
+                gs = jax.lax.fori_loop(
+                    0, span, h_step,
+                    tuple(
+                        jnp.zeros((SUB, LANE), dtype=x_hbm.dtype)
+                        for _ in range(C)
+                    ),
+                )
+            accs = [a + datk * g for a, g in zip(accs, gs)]
+        _apply_epi_planes(accs, ex, ex_kinds, epi, escale, y_ref)
+
+    y3d = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(W.rb, W.hb, W.hi, W.lo, W.dat, *ex_in, x2d)
+    return finish(y3d)

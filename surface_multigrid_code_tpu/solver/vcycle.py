@@ -240,6 +240,14 @@ def _pad_flat(v: jnp.ndarray, npad: int) -> jnp.ndarray:
     return jax.lax.dynamic_update_slice(out, v, (0,))
 
 
+def _pad_planes(v: jnp.ndarray, npad: int) -> jnp.ndarray:
+    """Zero-tail pad planes [C, n] to [C, npad] (identity when equal)."""
+    if v.shape[1] == npad:
+        return v
+    out = jnp.zeros((v.shape[0], npad), dtype=v.dtype)
+    return jax.lax.dynamic_update_slice(out, v, (0, 0))
+
+
 def _nb_of(level: DeviceLevel) -> int:
     W = level.Aw
     return (W[0] if isinstance(W, tuple) else W).nb
@@ -256,8 +264,16 @@ def _vcycle_tiled(
     XLA elementwise ops or pad copies between kernels. Semantics are
     identical to the unfused path (same reference schedule,
     src/mg_VCycle.cpp:3-59) — padded rows carry zeros end to end.
+
+    Multi-column RHS: b/u of shape [C, n] (PLANES layout, one row per RHS
+    column) run every kernel batched — the select chain resolves once per
+    window row and serves all C columns (ops/well.well_spmv_planes); the
+    reference's multi-column instantiations are
+    src/min_quad_with_fixed_mg.cpp:363-373.
     """
     L = hier.n_levels
+    planes = b.ndim == 2
+    pad = _pad_planes if planes else _pad_flat
 
     def relax(level: DeviceLevel, Bt, Ut, n_iter: int, dinv_t, sgs_t):
         if (
@@ -304,8 +320,12 @@ def _vcycle_tiled(
         level = hier.levels[lv]
         if lv == L - 1:
             nL = level.A.n_rows
+            if planes:
+                # one dense matmul per coarse solve (coarse_inv is
+                # symmetric; columns ride the MXU together)
+                return Ut.at[:, :nL].add(Bt[:, :nL] @ hier.coarse_inv.T)
             return Ut.at[:nL].add(hier.coarse_inv @ Bt[:nL])
-        npad = Bt.shape[0]
+        npad = Bt.shape[-1]
         dinv_t = _pad_flat(1.0 / level.diag, npad)
         sgs_t = ()
         if cfg.smoother == SmootherType.MULTICOLOR_GS and level.group_mask:
@@ -320,10 +340,12 @@ def _vcycle_tiled(
         Ut = well_apply(nxt.Pw, uc, epi="add", u=Ut, unpadded=False)
         return relax(level, Bt, Ut, cfg.post_relax_iter, dinv_t, sgs_t)
 
-    n = b.shape[0]
+    n = b.shape[-1]
     npad0 = _nb_of(hier.levels[0]) * B_ROWS
-    z = go(0, _pad_flat(b, npad0), _pad_flat(u, npad0))
-    return z[:n] if n != npad0 else z
+    z = go(0, pad(b, npad0), pad(u, npad0))
+    if n == npad0:
+        return z
+    return z[:, :n] if planes else z[:n]
 
 
 def vcycle(
@@ -332,19 +354,23 @@ def vcycle(
     u: jnp.ndarray,
     cfg: SolveConfig = SolveConfig(),
 ) -> jnp.ndarray:
-    """One V-cycle on the finest level (recursion unrolled; jittable)."""
+    """One V-cycle on the finest level (recursion unrolled; jittable).
+
+    b/u: flat [n] or multi-column [n, C] (the latter runs the batched
+    planes kernels when the hierarchy is windowed)."""
     lv0 = hier.levels[0]
     if (
         getattr(cfg, "tiled_vcycle", True)
         and lv0.Aw is not None
-        and b.ndim == 1
         and not (
             cfg.smoother == SmootherType.MULTICOLOR_GS
             and lv0.groups
             and not lv0.group_mask
         )
     ):
-        return _vcycle_tiled(hier, b, u, cfg)
+        if b.ndim == 1:
+            return _vcycle_tiled(hier, b, u, cfg)
+        return _vcycle_tiled(hier, b.T, u.T, cfg).T
 
     def go(lv: int, B, U):
         level = hier.levels[lv]
@@ -384,8 +410,11 @@ def solve_loop(
     A0 = lv0.Aw if lv0.Aw is not None else lv0.A
 
     def resid(z):
-        if isinstance(A0, (WellMatrix, tuple)) and rhs.ndim == 1:
-            r = well_apply(A0, z, epi="resid", b=rhs)
+        if isinstance(A0, (WellMatrix, tuple)):
+            if rhs.ndim == 1:
+                r = well_apply(A0, z, epi="resid", b=rhs)
+            else:  # planes-batched fused residual, one kernel for all cols
+                r = well_apply(A0, z.T, epi="resid", b=rhs.T)
         else:
             r = rhs - any_spmv(A0, z)
         return jnp.sqrt((r * r).sum())

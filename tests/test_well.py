@@ -416,3 +416,74 @@ def test_tiled_vcycle_matches_unfused(rng):
         assert int(k0) == int(k1)
         assert np.abs(np.asarray(z1) - np.asarray(z0)).max() < 1e-12
         assert np.abs(np.asarray(r1) - np.asarray(r0)).max() < 1e-12
+
+
+def test_well_spmv_planes_all_modes(rng):
+    """Batched multi-RHS (planes) kernel vs per-column well_spmv across
+    every window mode: legacy, tap-recentered, slope-1 dia, fractional
+    dia, and integer-slope phase-split."""
+    from surface_multigrid_code_tpu.ops.well import (
+        build_well,
+        build_well_dia,
+        build_well_diaq,
+        build_well_tap,
+        well_apply,
+    )
+
+    A = _banded(rng, n=1800, half_bw=25, per_row=6)
+    Xp = jnp.asarray(rng.standard_normal((3, A.shape[0])).astype(np.float32))
+    ref = (A @ np.asarray(Xp).T).T
+    layouts = [
+        build_well(A, dtype=jnp.float32),
+        build_well_tap(A, dtype=jnp.float32),
+        build_well_dia(A, dtype=jnp.float32, q=(1, 1)),
+        build_well_dia(A, dtype=jnp.float32, q=(1, 2)),
+    ]
+    for Ws in layouts:
+        Yp = np.asarray(well_apply(Ws, Xp))
+        assert np.abs(Yp - ref).max() / np.abs(ref).max() < 1e-5, type(Ws)
+
+    # integer-slope (phase-split) mode needs a genuinely sloped operator
+    n, m = 600, 2400
+    rows = np.repeat(np.arange(n), 4)
+    cols = np.clip(4 * rows + rng.integers(-6, 7, size=rows.size), 0, m - 1)
+    PT = sp.coo_matrix(
+        (rng.random(rows.size), (rows, cols)), shape=(n, m)
+    ).tocsr()
+    Wq = build_well_diaq(PT, dtype=jnp.float32, q=(4, 1))
+    Xq = jnp.asarray(rng.standard_normal((2, m)).astype(np.float32))
+    refq = (PT @ np.asarray(Xq).T).T
+    Yq = np.asarray(well_apply(Wq, Xq))
+    assert np.abs(Yq - refq).max() / np.abs(refq).max() < 1e-5
+
+
+def test_well_planes_fused_epilogues(rng):
+    """Planes-mode fused epilogues (axpby / resid / add / resid_scaled)
+    match the per-column fused path on every column."""
+    from surface_multigrid_code_tpu.ops.well import build_well_tap, well_apply
+
+    A = _banded(rng, n=1100, half_bw=20, per_row=5)
+    n = A.shape[0]
+    Ws = build_well_tap(A, dtype=jnp.float32)
+    C = 3
+    Xp = jnp.asarray(rng.standard_normal((C, n)).astype(np.float32))
+    Bp = jnp.asarray(rng.standard_normal((C, n)).astype(np.float32))
+    Up = jnp.asarray(rng.standard_normal((C, n)).astype(np.float32))
+    s = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+
+    cases = [
+        ("axpby", dict(u=Up, b=Bp, s=s, escale=0.7)),
+        ("resid", dict(b=Bp)),
+        ("add", dict(u=Up)),
+        ("resid_scaled", dict(b=Bp, s=s, escale=1.3)),
+    ]
+    for epi, kw in cases:
+        Yp = np.asarray(well_apply(Ws, Xp, epi=epi, **kw))
+        for c in range(C):
+            kw1 = {
+                k: (v[c] if k in ("u", "b") else v) for k, v in kw.items()
+            }
+            y1 = np.asarray(well_apply(Ws, Xp[c], epi=epi, **kw1))
+            assert np.abs(Yp[c] - y1).max() < 1e-5 * max(
+                1.0, np.abs(y1).max()
+            ), epi
