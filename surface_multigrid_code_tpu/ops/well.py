@@ -654,7 +654,7 @@ def any_spmv(A, x: jnp.ndarray) -> jnp.ndarray:
             return well_spmv(A, x)
         if x.shape[1] == 1:
             return well_spmv(A, x[:, 0])[:, None]
-        return well_spmv_planes(A, x.T).T
+        return well_apply(A, x.T).T
     from surface_multigrid_code_tpu.ops.sparse import ell_spmv
 
     return ell_spmv(A, x)
@@ -711,6 +711,15 @@ def _apply_epi(acc, ex, epi, escale, y_ref):
     y_ref[:, :] = out
 
 
+def _body_cost(W: WellMatrix) -> int:
+    """Unrolled select-chain length of one kernel body — the quantity the
+    _UNROLL_CAP group splitting bounds at build time (sum of per-tap
+    spans/candidate counts, or w*H for the legacy whole-window mode)."""
+    if W.ht is not None:
+        return int(sum(W.ht))
+    return W.w * W.H
+
+
 def _plane_tiles(v: jnp.ndarray, nb: int) -> jnp.ndarray:
     """Planes [C, n] (zero-padded semantics) or already-tiled
     [C, nb*SUB, LANE] -> plane row tiles [C, nb*SUB, LANE]."""
@@ -744,6 +753,32 @@ def well_apply(
         "resid_scaled": (b, s),
     }[epi]
     if x.ndim == 2:
+        C = x.shape[0]
+        if any(C * _body_cost(W) > 2 * _UNROLL_CAP for W in Ws):
+            # Mosaic's scoped-VMEM compile budget bounds the unrolled
+            # kernel body, and a C-column body is ~C x the single-column
+            # one (measured: C=3 at body 4096 allocates 17.7M vs the 16M
+            # limit). Layouts built without a multi-column cap hint
+            # (ops built via build_well_auto(cap=_UNROLL_CAP // ncols))
+            # fall back to per-column calls on such hub-row operators.
+            kinds = _EPI_KINDS[epi]
+
+            def col_operand(v, k, c):
+                return v if k == "s" or v is None else v[c]
+
+            cols = []
+            for c in range(C):
+                kw = dict(zip(("u", "b", "s"), (None, None, None)))
+                named = {"axpby": ("u", "b", "s"), "resid": ("b",),
+                         "add": ("u",), "resid_scaled": ("b", "s"),
+                         None: ()}[epi]
+                for name, v, k in zip(named, operands, kinds):
+                    kw[name] = col_operand(v, k, c)
+                cols.append(well_apply(
+                    Ws, x[c], epi=epi, escale=escale, unpadded=unpadded,
+                    **{k: v for k, v in kw.items() if v is not None},
+                ))
+            return jnp.stack(cols, axis=0)
         kinds = _EPI_KINDS[epi]
         ops = tuple(
             _plane_tiles(v, nb) if k == "p" else _as_tiles(v, nb)
