@@ -100,7 +100,10 @@ def main():
         ],
         out_specs=pl.BlockSpec((B_ROWS, NC), lambda b, j, rb: (b, 0)),
         scratch_shapes=[
-            pltpu.VMEM((CW, NC), band_dt),
+            # window scratch stays f32 (bf16 (16,128) tiling breaks the
+            # dynamic-start DMA proof); cast to band_dt before the dot —
+            # the band reads are the traffic under test, not the window
+            pltpu.VMEM((CW, NC), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
@@ -118,7 +121,7 @@ def main():
             y_ref[:, :] = jnp.zeros((B_ROWS, NC), dtype=y_ref.dtype)
 
         y_ref[:, :] += jax.lax.dot(
-            band_ref[:, :], win[:, :],
+            band_ref[:, :], win[:, :].astype(band_dt),
             preferred_element_type=jnp.float32,
         )
 
@@ -127,7 +130,7 @@ def main():
             band_kernel,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((nb * B_ROWS, NC), jnp.float32),
-        )(rb_d, band_a, xc.astype(band_dt))
+        )(rb_d, band_a, xc)
         return y
 
     def chain_band(band_a, x, K):
