@@ -58,7 +58,7 @@ def main(well="1", mesh="bunny_15K_init", scale="1e6"):
     def chain(k):
         def f(st, xv, qd0, fExt):
             def body(c, _):
-                p, q = stepper._step(st, c[0], c[1], fExt)
+                p, q = stepper._step(st, c[0], c[1], fExt)[:2]
                 return (p, q), None
             (p, q), _ = jax.lax.scan(body, (xv, qd0), None, length=k)
             return jnp.sum(p) + jnp.sum(q) * 1e-30

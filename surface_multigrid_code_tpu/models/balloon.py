@@ -58,13 +58,21 @@ class BalloonNewtonSolver:
     """
 
     def __init__(self, shell: ShellEnergy, M: sp.csr_matrix, mg, cfg=None,
-                 dtype=None, build_solver: bool = True):
+                 dtype=None, build_solver: bool = True,
+                 psd_project: bool = True):
         import jax
         import jax.numpy as jnp
         from surface_multigrid_code_tpu.solver.refresh import (
             RefreshableMGSolver,
             csr_slot_map,
         )
+
+        # Per-face PSD projection (models/shell.psd_project_blocks): the
+        # raw shell Hessians go indefinite under large deformation (the
+        # reference's pressure-1e6 operating point) and an SPD-assuming
+        # f32 multigrid then diverges; clamping is a bitwise no-op for
+        # already-PSD faces, so moderate-load trajectories are unchanged.
+        self.psd_project = bool(psd_project)
 
         # Chebyshev default: interleaved block patterns need ~21 GS colors
         # (vertex graph x K3), making colored sweeps scatter-heavy on TPU;
@@ -128,19 +136,23 @@ class BalloonNewtonSolver:
         feed the jitted refresh+solve program directly)."""
         import jax
         import jax.numpy as jnp
+        from surface_multigrid_code_tpu.models.shell import (
+            psd_project_blocks,
+        )
 
         shell = self.shell
+        proj = psd_project_blocks if self.psd_project else (lambda h: h)
         xv = jnp.asarray(x_flat).reshape(-1, 3)
         x9 = xv[jnp.asarray(shell.F)].reshape(-1, 9)
-        entries = [self.shell._face_hess(x9, shell.abars).reshape(-1)]
+        entries = [proj(self.shell._face_hess(x9, shell.abars)).reshape(-1)]
         if shell.bending:
             x18 = jnp.concatenate(
                 [x9, xv[jnp.asarray(shell.opp)].reshape(-1, 9)], axis=1
             )
             entries.append(
-                shell._face_hess_bend(
+                proj(shell._face_hess_bend(
                     x18, shell.abars, shell.bbars, jnp.asarray(shell.mask)
-                ).reshape(-1)
+                )).reshape(-1)
             )
         e = dt * dt * jnp.concatenate(entries)
         epad = jnp.concatenate([e, jnp.zeros(1, dtype=e.dtype)])
@@ -174,12 +186,18 @@ class DeviceBalloonStepper:
 
     def __init__(self, shell: ShellEnergy, M: sp.csr_matrix, mg, dt: float,
                  mg_tolerance: float = 2e-1, n_newton: int = 10,
-                 max_cycles: int = 20, cfg=None, dtype=None):
+                 max_cycles: int = 20, cfg=None, dtype=None,
+                 psd_project: bool = True):
         import jax
         import jax.numpy as jnp
+        from surface_multigrid_code_tpu.models.shell import (
+            psd_project_blocks,
+        )
         from surface_multigrid_code_tpu.solver.vcycle import solve_loop
 
-        ns = BalloonNewtonSolver(shell, M, mg, cfg=cfg, dtype=dtype)
+        proj = psd_project_blocks if psd_project else (lambda h: h)
+        ns = BalloonNewtonSolver(shell, M, mg, cfg=cfg, dtype=dtype,
+                                 psd_project=psd_project)
         self.newton_solver = ns
         solver = ns.solver
         dtype = solver.dtype
@@ -221,15 +239,15 @@ class DeviceBalloonStepper:
             # reuse the shell's vmapped per-face Hessian kernels
             xv = x_flat.reshape(-1, 3)
             x9 = xv[st["F"]].reshape(-1, 9)
-            entries = [shell._face_hess(x9, st["abars"]).reshape(-1)]
+            entries = [proj(shell._face_hess(x9, st["abars"])).reshape(-1)]
             if shell.bending:
                 x18 = jnp.concatenate(
                     [x9, xv[st["opp"]].reshape(-1, 9)], axis=1
                 )
                 entries.append(
-                    shell._face_hess_bend(
+                    proj(shell._face_hess_bend(
                         x18, st["abars"], st["bbars"], st["mask"]
-                    ).reshape(-1)
+                    )).reshape(-1)
                 )
             e = dt * dt * jnp.concatenate(entries)
             epad = jnp.concatenate([e, jnp.zeros(1, dtype=e.dtype)])
@@ -250,24 +268,13 @@ class DeviceBalloonStepper:
             fExt = fExt.astype(dtype)
             Md = st["Mdiag"]
 
-            # hoist the Chebyshev lam_max power iterations out of the
-            # Newton loop: H = M + dt^2 K(x) drifts little within one step,
-            # so estimate on the entry Hessian once and reuse with a 1.2x
-            # margin (measured 0.24 s/refresh on bunny_15K; a LOW estimate
-            # would amplify modes above the window, the margin only ever
-            # widens it).  Cuts the bunny_15K step 7.5 -> 5.9 s.
-            # Well mode must NOT hoist: traced lam feeding the in-loop
-            # windowed-kernel refresh faults the TPU worker (see the
-            # BsrBalloonStepper stage-17/20/21/23/24 bisect note).
+            # No lam hoist anymore: the Chebyshev bound is now a
+            # Gershgorin row-sum (one pass over the refreshed values,
+            # solver/refresh.py) instead of 12 power-iteration SpMVs, so
+            # per-refresh recomputation is cheap AND never underestimates
+            # the drifted in-step spectrum (a stale hoisted estimate can,
+            # which diverges the window — the pressure-1e6 failure mode).
             lam0 = None
-            if cfg.smoother == SmootherType.CHEBYSHEV and not solver.well:
-                hier0 = solver._refresh_impl(
-                    st["solver"], hess_vals(st, curPos0.reshape(-1))
-                )
-                lam0 = tuple(
-                    None if lvl.lam_max is None else 1.2 * lvl.lam_max
-                    for lvl in hier0.levels
-                )
 
             def total_energy(qdot):
                 dq = qdot - qdot0
@@ -276,7 +283,7 @@ class DeviceBalloonStepper:
                 return Ek + (newPos * fExt).sum() + energy(st, newPos)
 
             def newton(i, carry):
-                qdot, _ = carry
+                qdot, _, nrej = carry
                 x = (curPos0.reshape(-1) + dt * qdot)
                 G = grad_e(st, x)
                 vals = hess_vals(st, x)
@@ -303,26 +310,46 @@ class DeviceBalloonStepper:
                     ls_cond, ls_body,
                     (jnp.asarray(1.0, dtype=dtype), jnp.asarray(False)),
                 )
-                qdot = qdot + jnp.where(found, alpha, 0.0) * dx
-                return (qdot, alpha)
+                # frozen-state guard: a rejected iteration must leave qdot
+                # BITWISE unchanged — `qdot + 0.0 * dx` turns a diverged
+                # (inf) dx into NaN and silently corrupts the trajectory
+                # (the reference's soft-failure discipline, SURVEY §5.3)
+                good = jnp.logical_and(found, jnp.isfinite((dx * dx).sum()))
+                qdot = jnp.where(good, qdot + alpha * dx, qdot)
+                return (qdot, alpha, nrej + (~good).astype(jnp.int32))
 
-            qdot, _ = jax.lax.fori_loop(
-                0, n_newton, newton, (qdot0, jnp.asarray(1.0, dtype=dtype))
+            qdot, _, nrej = jax.lax.fori_loop(
+                0, n_newton, newton,
+                (qdot0, jnp.asarray(1.0, dtype=dtype), jnp.int32(0)),
             )
             curPos = curPos0 + dt * qdot.reshape(-1, 3)
-            return curPos, qdot
+            return curPos, qdot, nrej
 
         self._state = state
         self._step = jax.jit(step)
 
     def step(self, curPos, qdot, fExt):
-        """One implicit Euler step; returns (curPos_next, qdot_next)."""
+        """One implicit Euler step; returns (curPos_next, qdot_next).
+
+        Newton iterations whose direction fails the line search (or is
+        non-finite) leave the state untouched; their count is reported in
+        `self.last_rejected` and warned about — the soft-failure analog of
+        the reference returning converged=false."""
+        import warnings
+
         import jax.numpy as jnp
 
-        p, q = self._step(
+        p, q, nrej = self._step(
             self._state, jnp.asarray(curPos), jnp.asarray(qdot),
             jnp.asarray(fExt),
         )
+        self.last_rejected = int(nrej)
+        if self.last_rejected:
+            warnings.warn(
+                f"balloon step: {self.last_rejected} Newton iteration(s)"
+                " rejected (line search failed or non-finite direction);"
+                " state frozen for those iterations", stacklevel=2,
+            )
         return (
             np.asarray(p, dtype=np.float64),
             np.asarray(q, dtype=np.float64),
@@ -350,13 +377,19 @@ class BsrBalloonStepper:
                  mg_tolerance: float = 2e-1, n_newton: int = 10,
                  max_cycles: int = 20, cfg=None, dtype=None,
                  well: bool | None = None,
-                 newton_unroll: bool | None = None):
+                 newton_unroll: bool | None = None,
+                 psd_project: bool = True):
         import jax
         import jax.numpy as jnp
+        from surface_multigrid_code_tpu.models.shell import (
+            psd_project_blocks,
+        )
         from surface_multigrid_code_tpu.solver.bsr import (
             BsrRefreshableSolver,
             bsr_solve_loop,
         )
+
+        proj = psd_project_blocks if psd_project else (lambda h: h)
         from surface_multigrid_code_tpu.solver.galerkin import _ellize_segments
         from surface_multigrid_code_tpu.solver.refresh import csr_slot_map
 
@@ -468,7 +501,7 @@ class BsrBalloonStepper:
             """dt^2 K + M as [nnz_v, 3, 3] blocks (gather-only assembly)."""
             xv = x_flat.reshape(-1, 3)
             x9 = xv[st["F"]].reshape(-1, 9)
-            H9 = shell._face_hess(x9, st["abars"])  # [nf, 9, 9]
+            H9 = proj(shell._face_hess(x9, st["abars"]))  # [nf, 9, 9]
             ent = [
                 H9.reshape(nf, 3, 3, 3, 3)
                 .transpose(0, 1, 3, 2, 4)
@@ -478,9 +511,9 @@ class BsrBalloonStepper:
                 x18 = jnp.concatenate(
                     [x9, xv[st["opp"]].reshape(-1, 9)], axis=1
                 )
-                H18 = shell._face_hess_bend(
+                H18 = proj(shell._face_hess_bend(
                     x18, st["abars"], st["bbars"], st["mask"]
-                )
+                ))
                 ent.append(
                     H18.reshape(nf, 6, 3, 6, 3)
                     .transpose(0, 1, 3, 2, 4)
@@ -503,20 +536,15 @@ class BsrBalloonStepper:
 
         self._block_vals = block_vals
 
-        # In well mode the hoisted Chebyshev lam_max refresh composed
-        # with the Newton fori_loop faults the TPU worker whenever the
-        # lam scalars reach the in-loop refresh as TRACED values
-        # (probe_step_bisect: stage 17 — in-program hoist — crashes;
-        # 21 — hoist in a separate dispatch, lam as jit args — crashes;
-        # 23 — optimization_barrier on lam — crashes; 24 — lam threaded
-        # through the fori carry — crashes; 15 — lam constant-folded —
-        # passes; 20 — lam recomputed INSIDE each Newton iteration —
-        # passes).  So well mode skips the hoist and lets each in-loop
-        # refresh run its own power iteration (stage-20 shape); non-well
-        # mode keeps the measured-0.24s/step hoist.
-        hoist_lam = (
-            cfg.smoother == SmootherType.CHEBYSHEV and not solver.well
-        )
+        # No lam hoist: the Chebyshev bound is a Gershgorin row-sum
+        # (solver/bsr._bsr_gershgorin_lam) recomputed inside each in-loop
+        # refresh — one pass over the blocks, never an underestimate of
+        # the drifted in-step spectrum (a stale hoisted estimate can be,
+        # which diverges the window — the pressure-1e6 failure mode), and
+        # exactly the stage-20 shape the round-2 TPU-worker-crash bisect
+        # proved safe (traced lam from a PRIOR dispatch feeding the
+        # in-loop windowed refresh faults the worker; in-iteration
+        # recomputation passes).
 
         def step(st, curPos0, qdot0, fExt):
             # NOTE: in well mode every [nv, *] input is already in the
@@ -530,14 +558,6 @@ class BsrBalloonStepper:
             Md = st["Mdiag"]
 
             lam0 = None
-            if hoist_lam:
-                hier0 = solver._refresh_impl(
-                    st["solver"], block_vals(st, curPos0.reshape(-1))
-                )
-                lam0 = tuple(
-                    None if lvl.lam_max is None else 1.2 * lvl.lam_max
-                    for lvl in hier0.levels
-                )
 
             def total_energy(qdot):
                 dq = qdot - qdot0
@@ -546,7 +566,7 @@ class BsrBalloonStepper:
                 return Ek + (newPos * fExt).sum() + energy(st, newPos)
 
             def newton(i, carry):
-                qdot, _ = carry
+                qdot, _, nrej = carry
                 x = curPos0.reshape(-1) + dt * qdot
                 G = grad_e(st, x)
                 vals = block_vals(st, x)
@@ -573,21 +593,25 @@ class BsrBalloonStepper:
                     ls_cond, ls_body,
                     (jnp.asarray(1.0, dtype=dtype), jnp.asarray(False)),
                 )
-                qdot = qdot + jnp.where(found, alpha, 0.0) * dx
-                return (qdot, alpha)
+                # frozen-state guard: `qdot + 0.0 * dx` turns a diverged
+                # (inf) direction into NaN; a rejected iteration must
+                # leave qdot bitwise unchanged (soft failure, SURVEY §5.3)
+                good = jnp.logical_and(found, jnp.isfinite((dx * dx).sum()))
+                qdot = jnp.where(good, qdot + alpha * dx, qdot)
+                return (qdot, alpha, nrej + (~good).astype(jnp.int32))
 
-            carry = (qdot0, jnp.asarray(1.0, dtype=dtype))
+            carry = (qdot0, jnp.asarray(1.0, dtype=dtype), jnp.int32(0))
             if newton_unroll:
                 # trace-time unroll: keeps ONE dispatch but no lax While
                 # around the windowed Pallas kernels (see newton_unroll
                 # note in __init__)
                 for i in range(n_newton):
                     carry = newton(i, carry)
-                qdot, _ = carry
             else:
-                qdot, _ = jax.lax.fori_loop(0, n_newton, newton, carry)
+                carry = jax.lax.fori_loop(0, n_newton, newton, carry)
+            qdot, _, nrej = carry
             curPos = curPos0 + dt * qdot.reshape(-1, 3)
-            return curPos, qdot
+            return curPos, qdot, nrej
 
         self._state = state
         self._step = jax.jit(step)
@@ -600,7 +624,14 @@ class BsrBalloonStepper:
         permutes outputs on host (in-jit permutes composed with the
         Newton fori_loop fault the TPU worker — probe_step_bisect
         stages 15/16).
+
+        Newton iterations whose direction fails the line search (or is
+        non-finite) leave the state untouched; the count is reported in
+        `self.last_rejected` with a warning — the soft-failure analog of
+        the reference returning converged=false.
         """
+        import warnings
+
         import jax.numpy as jnp
 
         vp = self._vperm
@@ -611,11 +642,18 @@ class BsrBalloonStepper:
             curPos = curPos[vp]
             qdot3 = qdot3[vp]
             fExt3 = fExt3[vp]
-        p, q = self._step(
+        p, q, nrej = self._step(
             self._state, jnp.asarray(curPos),
             jnp.asarray(qdot3.reshape(-1)),
             jnp.asarray(fExt3.reshape(-1)),
         )
+        self.last_rejected = int(nrej)
+        if self.last_rejected:
+            warnings.warn(
+                f"balloon step: {self.last_rejected} Newton iteration(s)"
+                " rejected (line search failed or non-finite direction);"
+                " state frozen for those iterations", stacklevel=2,
+            )
         p = np.asarray(p, dtype=np.float64)
         q = np.asarray(q, dtype=np.float64).reshape(-1, 3)
         if vp is not None:
@@ -636,10 +674,14 @@ def implicit_euler_balloon_direct(
     dt: float,
     n_newton: int = 10,
     verbose: bool = True,
+    psd_project: bool = False,
 ):
     """Direct-solver implicit Euler (reference implicit_euler_balloon.h —
     the useMG=false toggle of example 06); sparse LU per Newton iteration
-    instead of multigrid."""
+    instead of multigrid.  psd_project=True uses the same per-face PSD
+    clamping as the multigrid steppers (needed for apples-to-apples
+    comparisons at large deformation, where the raw Hessian goes
+    indefinite)."""
     from scipy.sparse.linalg import splu
 
     qdot0 = qdot.copy()
@@ -658,7 +700,7 @@ def implicit_euler_balloon_direct(
 
     for it in range(n_newton):
         G = shell.gradient(curPos.reshape(-1))
-        K = shell.hessian(curPos.reshape(-1))
+        K = shell.hessian(curPos.reshape(-1), psd_project=psd_project)
         H = (M + dt * dt * K).tocsc()
         g = -(M @ (qdot - qdot0) + dt * G + dt * fExt)
         dx = splu(H).solve(g)

@@ -38,6 +38,29 @@ import jax.numpy as jnp
 MATERIALS = ("neohookean", "stvk", "tension_field")
 
 
+def psd_project_blocks(H: jnp.ndarray) -> jnp.ndarray:
+    """Per-face PSD projection of symmetric Hessian blocks [m, d, d]:
+    eigendecompose each block and clamp negative eigenvalues to zero.
+
+    Why: the raw autodiff shell Hessians (like the reference's hand-coded
+    ones, sim_utils/ElasticShell.cpp — no projection there either) go
+    INDEFINITE under large deformation (measured on bunny_15K at the
+    reference's inflation pressure 1e6: min eig(H) = -2.8e-3 with a
+    -0.63 diagonal entry).  The reference survives because its LDLT/
+    Gauss-Seidel in f64 limps through and the line search rejects the
+    garbage directions; an SPD-assuming f32 multigrid (Chebyshev window,
+    coarse Cholesky) instead diverges to overflow.  Clamping per-block
+    is the standard Newton globalization for elastic shells; it is a
+    bitwise NO-OP for faces whose block is already PSD, so trajectories
+    at moderate loads are unchanged.
+    """
+    Hs = 0.5 * (H + jnp.swapaxes(H, -1, -2))
+    w, U = jnp.linalg.eigh(Hs)
+    neg = (w < 0).any(axis=-1)
+    Hp = jnp.einsum("fij,fj,fkj->fik", U, jnp.maximum(w, 0.0), U)
+    return jnp.where(neg[:, None, None], Hp, H)
+
+
 def lame_parameters(young: float, poisson: float) -> tuple[float, float]:
     alpha = young * poisson / (1.0 - poisson * poisson)
     beta = young / 2.0 / (1.0 + poisson)
@@ -368,23 +391,30 @@ class ShellEnergy:
     def gradient(self, x_flat) -> np.ndarray:
         return np.asarray(self._grad(jnp.asarray(x_flat)), dtype=np.float64)
 
-    def hessian(self, x_flat) -> sp.csr_matrix:
+    def hessian(self, x_flat, psd_project: bool = False) -> sp.csr_matrix:
+        """Assembled stiffness K; psd_project=True clamps each per-face
+        block to PSD (see psd_project_blocks) — pass it when comparing
+        against the multigrid steppers, which project by default."""
         x9 = np.asarray(x_flat, dtype=np.float64).reshape(-1, 3)[self.F].reshape(
             -1, 9
         )
-        H = np.asarray(self._face_hess(jnp.asarray(x9), self.abars))
+        H = self._face_hess(jnp.asarray(x9), self.abars)
+        if psd_project:
+            H = psd_project_blocks(H)
+        H = np.asarray(H)
         rows, cols, vals = self._rows, self._cols, H.reshape(-1)
         if self.bending:
             xv = np.asarray(x_flat, dtype=np.float64).reshape(-1, 3)
             x18 = np.concatenate(
                 [xv[self.F].reshape(-1, 9), xv[self.opp].reshape(-1, 9)], axis=1
             )
-            Hb = np.asarray(
-                self._face_hess_bend(
-                    jnp.asarray(x18), self.abars, self.bbars,
-                    jnp.asarray(self.mask),
-                )
+            Hb = self._face_hess_bend(
+                jnp.asarray(x18), self.abars, self.bbars,
+                jnp.asarray(self.mask),
             )
+            if psd_project:
+                Hb = psd_project_blocks(Hb)
+            Hb = np.asarray(Hb)
             rows = np.concatenate([rows, self._rows_b])
             cols = np.concatenate([cols, self._cols_b])
             vals = np.concatenate([vals, Hb.reshape(-1)])

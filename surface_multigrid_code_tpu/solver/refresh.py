@@ -294,7 +294,15 @@ class RefreshableMGSolver:
                 if lam_in is not None and lam_in[lv] is not None:
                     lam_max = lam_in[lv]
                 else:
-                    lam_max = _device_lam_max(ell, diag)
+                    # Gershgorin UPPER bound: a power-iteration
+                    # underestimate makes the Chebyshev window amplify
+                    # the modes above it (divergence to overflow,
+                    # observed on the balloon at pressure 1e6); the
+                    # bound is also one pass over the values instead of
+                    # 12 SpMVs.
+                    lam_max = jnp.max(
+                        jnp.abs(data).sum(axis=1) / jnp.abs(diag)
+                    )
             levels.append(
                 DeviceLevel(
                     A=ell,

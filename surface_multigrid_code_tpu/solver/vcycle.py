@@ -127,7 +127,15 @@ def build_device_hierarchy(
     for lv in range(L):
         A = As[lv].tocsr()
         diag = jnp.asarray(A.diagonal(), dtype=dtype)
-        ell = ell_from_csr(A, dtype=dtype)
+        # well=True: the kernel layouts carry every SpMV, so the ELL
+        # duplicates of A/P/PT would only be dead upload weight (~8B/slot
+        # through the tunnel at 2.6M-vertex scale); keep ELL only at the
+        # coarsest level (shape bookkeeping + it is tiny)
+        ell = (
+            ell_from_csr(A, dtype=dtype)
+            if (not well or lv == L - 1)
+            else None
+        )
         group_mask = ()
         if cfg.smoother == SmootherType.MULTICOLOR_GS and lv < L - 1:
             color = (
@@ -150,7 +158,7 @@ def build_device_hierarchy(
         else:
             groups = ()
             group_scale = ()
-        if lv == 0:
+        if lv == 0 or well:
             P = PT = None
         else:
             P = ell_from_csr(Ps[lv - 1], dtype=dtype)
@@ -319,7 +327,7 @@ def _vcycle_tiled(
     def go(lv: int, Bt, Ut):
         level = hier.levels[lv]
         if lv == L - 1:
-            nL = level.A.n_rows
+            nL = level.diag.shape[0]
             if planes:
                 # one dense matmul per coarse solve (coarse_inv is
                 # symmetric; columns ride the MXU together)
@@ -382,7 +390,7 @@ def vcycle(
         nxt = hier.levels[lv + 1]
         rc = any_spmv(nxt.PTw if nxt.PTw is not None else nxt.PT, r)
         uc = jnp.zeros(
-            rc.shape if r.ndim > 1 else (nxt.A.n_rows,), dtype=r.dtype
+            rc.shape if r.ndim > 1 else (nxt.diag.shape[0],), dtype=r.dtype
         )
         uc = go(lv + 1, rc, uc)
         U = U + any_spmv(nxt.Pw if nxt.Pw is not None else nxt.P, uc)
@@ -463,7 +471,7 @@ def solve_loop_ir(
     break on tol, src/min_quad_with_fixed_mg.cpp:330-347), but the
     attainable floor is f64's ~1e-15 instead of f32's ~1e-6 relative.
     """
-    f32 = hier.levels[0].A.data.dtype
+    f32 = hier.levels[0].diag.dtype
 
     def cond(state):
         k, _, _, done = state

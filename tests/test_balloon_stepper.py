@@ -52,3 +52,67 @@ def test_device_stepper_bending_runs():
     stepper = DeviceBalloonStepper(shell, M, mg, 1e-3, n_newton=2)
     p, q = stepper.step(V.copy(), np.zeros(3 * V.shape[0]), fExt)
     assert np.isfinite(p).all() and np.isfinite(q).all()
+
+
+def test_psd_project_blocks():
+    """Per-face PSD projection: clamps indefinite blocks, leaves PSD
+    blocks bitwise untouched (so moderate-load trajectories are
+    unchanged)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from surface_multigrid_code_tpu.models.shell import psd_project_blocks
+
+    rng = np.random.default_rng(3)
+    B = rng.standard_normal((8, 9, 9))
+    H = 0.5 * (B + B.transpose(0, 2, 1))  # indefinite symmetric
+    Hpsd = np.einsum("fij,fkj->fik", B, B)  # PSD by construction
+    out = np.asarray(psd_project_blocks(jnp.asarray(H)))
+    w = np.linalg.eigvalsh(out)
+    assert w.min() >= -1e-10 * np.abs(w).max()
+    out_psd = np.asarray(psd_project_blocks(jnp.asarray(Hpsd)))
+    assert np.array_equal(out_psd, Hpsd), "PSD blocks must pass bitwise"
+    # clamped blocks keep their positive part: x^T Hp x >= x^T H x
+    x = rng.standard_normal(9)
+    assert (x @ out[0] @ x) >= (x @ H[0] @ x) - 1e-8
+
+
+def test_bsr_stepper_extreme_pressure_finite():
+    """Reference operating point robustness (ex06 fExt = -N*M*1e6,
+    06_example_balloon_sim/main.cpp:113-122): in f32, the raw Hessian
+    goes indefinite under large deformation and the V-cycle used to
+    diverge to inf, then `0 * inf` NaN-poisoned the frozen state.  With
+    per-face PSD projection + the frozen-state guard the trajectory must
+    stay finite and rejected iterations must be counted, not silently
+    corrupted."""
+    import numpy as np
+    import jax.numpy as jnp
+    from surface_multigrid_code_tpu.models.balloon import (
+        BsrBalloonStepper,
+        lumped_mass_matrix,
+        vertex_normals,
+    )
+    from surface_multigrid_code_tpu.models.shell import (
+        ShellEnergy,
+        lame_parameters,
+    )
+    from surface_multigrid_code_tpu.ops.laplacian import massmatrix
+    from surface_multigrid_code_tpu.solver.hierarchy import mg_precompute
+    from surface_multigrid_code_tpu.utils.synthetic import icosphere
+
+    V, F = icosphere(2)
+    al, be = lame_parameters(6e6, 0.5 - 1e-3)
+    shell = ShellEnergy(V, F, 1e-1, al, be, "neohookean")
+    M = 1000.0 * lumped_mass_matrix(V, F)
+    mg = mg_precompute(V, F, min_coarsest_nv=40, verbose=False)
+    stepper = BsrBalloonStepper(
+        shell, M, mg, 1e-3, mg_tolerance=2e-1, dtype=jnp.float32
+    )
+    curPos = V.copy()
+    qdot = np.zeros(3 * V.shape[0])
+    for _ in range(3):
+        N = vertex_normals(curPos, F)
+        Mvd = np.asarray(massmatrix(curPos, F, kind="voronoi").diagonal())
+        fExt = (-(N * Mvd[:, None]) * 1e6).reshape(-1)
+        curPos, qdot = stepper.step(curPos, qdot, fExt)
+        assert np.isfinite(curPos).all() and np.isfinite(qdot).all()
+        assert isinstance(stepper.last_rejected, int)
