@@ -234,6 +234,7 @@ class DeviceBalloonStepper:
             )
 
         grad_e = jax.grad(energy, argnums=1)
+        val_grad_e = jax.value_and_grad(energy, argnums=1)
 
         def hess_vals(st, x_flat):
             # reuse the shell's vmapped per-face Hessian kernels
@@ -285,7 +286,10 @@ class DeviceBalloonStepper:
             def newton(i, carry):
                 qdot, _, nrej = carry
                 x = (curPos0.reshape(-1) + dt * qdot)
-                G = grad_e(st, x)
+                # one pass: the elastic energy at x IS total_energy(qdot)'s
+                # expensive term (newPos == x), so value_and_grad yields
+                # the Newton gradient AND the line-search f0 together
+                Ev0, G = val_grad_e(st, x)
                 vals = hess_vals(st, x)
                 g = -(Md * (qdot - qdot0) + dt * G + dt * fExt)
                 hier = solver._refresh_impl(st["solver"], vals, lam_in=lam0)
@@ -294,7 +298,8 @@ class DeviceBalloonStepper:
                     jnp.asarray(mg_tolerance, dtype=dtype), max_cycles, cfg,
                 )
                 # backtracking line search
-                f0 = total_energy(qdot)
+                dq = qdot - qdot0
+                f0 = 0.5 * (dq * Md * dq).sum() + (x * fExt).sum() + Ev0
                 s = f0 + 1e-8 * (g * dx).sum()
 
                 def ls_cond(c):
@@ -496,6 +501,7 @@ class BsrBalloonStepper:
             )
 
         grad_e = jax.grad(energy, argnums=1)
+        val_grad_e = jax.value_and_grad(energy, argnums=1)
 
         def block_vals(st, x_flat):
             """dt^2 K + M as [nnz_v, 3, 3] blocks (gather-only assembly)."""
@@ -568,7 +574,10 @@ class BsrBalloonStepper:
             def newton(i, carry):
                 qdot, _, nrej = carry
                 x = curPos0.reshape(-1) + dt * qdot
-                G = grad_e(st, x)
+                # one pass: the elastic energy at x IS total_energy(qdot)'s
+                # expensive term (newPos == x), so value_and_grad yields
+                # the Newton gradient AND the line-search f0 together
+                Ev0, G = val_grad_e(st, x)
                 vals = block_vals(st, x)
                 g = -(Md * (qdot - qdot0) + dt * G + dt * fExt)
                 hier = solver._refresh_impl(st["solver"], vals, lam_in=lam0)
@@ -577,7 +586,8 @@ class BsrBalloonStepper:
                     jnp.asarray(mg_tolerance, dtype=dtype), max_cycles, cfg,
                 )
                 dx = dx2.reshape(-1)
-                f0 = total_energy(qdot)
+                dq = qdot - qdot0
+                f0 = 0.5 * (dq * Md * dq).sum() + (x * fExt).sum() + Ev0
                 s = f0 + 1e-8 * (g * dx).sum()
 
                 def ls_cond(c):

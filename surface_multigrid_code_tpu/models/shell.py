@@ -38,9 +38,9 @@ import jax.numpy as jnp
 MATERIALS = ("neohookean", "stvk", "tension_field")
 
 
-def psd_project_blocks(H: jnp.ndarray) -> jnp.ndarray:
+def psd_project_blocks(H: jnp.ndarray, iters: int = 22) -> jnp.ndarray:
     """Per-face PSD projection of symmetric Hessian blocks [m, d, d]:
-    eigendecompose each block and clamp negative eigenvalues to zero.
+    clamp negative eigenvalues to (near) zero.
 
     Why: the raw autodiff shell Hessians (like the reference's hand-coded
     ones, sim_utils/ElasticShell.cpp — no projection there either) go
@@ -50,15 +50,61 @@ def psd_project_blocks(H: jnp.ndarray) -> jnp.ndarray:
     Gauss-Seidel in f64 limps through and the line search rejects the
     garbage directions; an SPD-assuming f32 multigrid (Chebyshev window,
     coarse Cholesky) instead diverges to overflow.  Clamping per-block
-    is the standard Newton globalization for elastic shells; it is a
-    bitwise NO-OP for faces whose block is already PSD, so trajectories
-    at moderate loads are unchanged.
+    is the standard Newton globalization for elastic shells.
+
+    How: NOT batched eigh — jnp.linalg.eigh on [32K, 9, 9] costs ~450 ms
+    per call on this TPU (probe_balloon_profile_r3.py), which at 10+
+    Newton iterations dominated the whole implicit-Euler step.  Instead
+    the matrix sign function is computed with a Newton-Schulz iteration
+    (X <- 1.5 X - 0.5 X^3, batched 9x9 matmuls — MXU work, ~ms), and
+        PSD(H) = (H + H sign(H)) / 2 = U max(L, 0) U^T.
+    Eigenvalues tiny relative to ||H|| converge slowly through NS, but
+    their clamping error is proportionally tiny (|residue| <= |lam|), so
+    big negatives — the ones that break the solver — are removed exactly
+    while near-null directions keep a harmless O(1e-4 ||H||) residue.
+    Blocks whose clamp correction is below 1e-4 ||H|| pass through
+    BITWISE unchanged, so trajectories at moderate loads are identical.
     """
     Hs = 0.5 * (H + jnp.swapaxes(H, -1, -2))
-    w, U = jnp.linalg.eigh(Hs)
-    neg = (w < 0).any(axis=-1)
-    Hp = jnp.einsum("fij,fj,fkj->fik", U, jnp.maximum(w, 0.0), U)
-    return jnp.where(neg[:, None, None], Hp, H)
+    m, d = H.shape[0], H.shape[-1]
+    # per-block inf-norm >= spectral radius; scale into NS's domain
+    s = jnp.abs(Hs).sum(axis=-1).max(axis=-1)
+    s = jnp.maximum(s, 1e-30)
+    X = Hs / s[:, None, None]
+
+    # Pack `pack` blocks into one block-diagonal ~126x126 tile: a batched
+    # 9x9 matmul runs at <1% MXU utilization (measured 59 ms per
+    # projection at 32K faces), while the 196x-flops block-diagonal form
+    # rides full 128-wide tiles ~7x faster.  Block-diagonality is exact
+    # under products (off-diagonal zeros stay zero), so the extraction
+    # is exact.
+    pack = max(1, 126 // d)
+    g = -(-m // pack)
+    Xp = jnp.zeros((g * pack, d, d), dtype=H.dtype)
+    Xp = jax.lax.dynamic_update_slice(Xp, X, (0, 0, 0))
+    X4 = Xp.reshape(g, pack, d, d)
+    Z = jnp.zeros((g, pack * d, pack * d), dtype=H.dtype)
+    for j in range(pack):
+        Z = jax.lax.dynamic_update_slice(
+            Z, X4[:, j], (0, j * d, j * d)
+        )
+
+    def body(i, Z):
+        Z2 = jnp.einsum("fij,fjk->fik", Z, Z)
+        return 1.5 * Z - 0.5 * jnp.einsum("fij,fjk->fik", Z2, Z)
+
+    S = jax.lax.fori_loop(0, iters, body, Z)
+    Sb = jnp.stack(
+        [
+            jax.lax.dynamic_slice(S, (0, j * d, j * d), (g, d, d))
+            for j in range(pack)
+        ],
+        axis=1,
+    ).reshape(g * pack, d, d)[:m]
+    Hp = 0.5 * (Hs + jnp.einsum("fij,fjk->fik", Hs, Sb))
+    Hp = 0.5 * (Hp + jnp.swapaxes(Hp, -1, -2))
+    clamped = jnp.abs(Hp - Hs).max(axis=(-1, -2)) > 1e-4 * s
+    return jnp.where(clamped[:, None, None], Hp, H)
 
 
 def lame_parameters(young: float, poisson: float) -> tuple[float, float]:

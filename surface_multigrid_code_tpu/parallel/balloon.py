@@ -44,7 +44,11 @@ class ShardedBalloonNewton:
         cfg: SolveConfig | None = None,
         dtype=jnp.float64,
         reorder: bool = True,
+        backend: str = "well",
     ):
+        """backend: "well" (default) = windowed-Pallas band-segment halos
+        with the slot-space value refresh (parallel/wellhalo.py);
+        "halo" = the ELL publish-slot reference path."""
         cfg = cfg or SolveConfig(smoother=SmootherType.CHEBYSHEV)
         self.asm = BalloonNewtonSolver(shell, M, mg, cfg=cfg, build_solver=False)
         # initial-value chain on the full symbolic pattern (rest-state H);
@@ -57,9 +61,20 @@ class ShardedBalloonNewton:
         )
         Ps = [mg[lv].P_full.tocsr() for lv in range(1, len(mg))]
         As = galerkin_chain(A0, Ps)
-        self.halo = HaloHierarchy(
-            As, Ps, mesh, cfg=cfg, dtype=dtype, reorder=reorder
-        ).enable_refresh()
+        if backend == "well":
+            from surface_multigrid_code_tpu.parallel.wellhalo import (
+                WellHaloHierarchy,
+            )
+
+            self.halo = WellHaloHierarchy(
+                As, Ps, mesh, cfg=cfg, dtype=dtype
+            ).enable_refresh()
+        elif backend == "halo":
+            self.halo = HaloHierarchy(
+                As, Ps, mesh, cfg=cfg, dtype=dtype, reorder=reorder
+            ).enable_refresh()
+        else:
+            raise ValueError(f"unknown backend {backend!r} (well|halo)")
 
     def hessian_values(self, x_flat, dt):
         return self.asm.hessian_values(x_flat, dt)

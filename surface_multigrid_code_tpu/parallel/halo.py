@@ -1,5 +1,13 @@
 """Explicit halo-exchange multigrid over a 1-D device mesh (shard_map).
 
+ROLE: CORRECTNESS REFERENCE.  The per-shard SpMVs here ride the XLA ELL
+gather, which this TPU executes serially (~6.8 ns/element) — ~100x off
+the windowed Pallas kernel at mesh scale.  The production multi-chip
+path is parallel/wellhalo.py (band-segment halos + the windowed kernel,
+including the sharded value refresh); this module stays as the
+publish-slot exchange reference whose residual histories every kernel
+path must reproduce.
+
 parallel/spmd.py lets GSPMD insert collectives automatically; this module
 is the hand-scheduled version: every level's rows are partitioned into
 equal contiguous blocks, and each SpMV exchanges ONLY the halo — the

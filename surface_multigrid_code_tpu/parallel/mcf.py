@@ -58,7 +58,13 @@ class ShardedMCFStepper:
         cfg: SolveConfig | None = None,
         dtype=jnp.float32,
         reorder: bool = True,
+        backend: str = "well",
     ):
+        """backend: "well" (default) = windowed-Pallas band-segment halos
+        with the slot-space value refresh (parallel/wellhalo.py — every
+        SpMV and the per-step Galerkin rebuild run on the kernel);
+        "halo" = the ELL publish-slot path (parallel/halo.py, the
+        correctness reference whose gathers are serial on this TPU)."""
         self.F = np.asarray(F, dtype=np.int64)
         self.delta = float(delta)
         self.mg_tol = float(mg_tol)
@@ -81,9 +87,20 @@ class ShardedMCFStepper:
         # symbolic-pattern chain: SSP prolongations carry exact-zero weights
         # whose products scipy would drop, de-syncing the refresh plan
         As = galerkin_chain(A0, Ps)
-        self.halo = HaloHierarchy(
-            As, Ps, mesh, cfg=cfg, dtype=dtype, reorder=reorder
-        ).enable_refresh()
+        if backend == "well":
+            from surface_multigrid_code_tpu.parallel.wellhalo import (
+                WellHaloHierarchy,
+            )
+
+            self.halo = WellHaloHierarchy(
+                As, Ps, mesh, cfg=cfg, dtype=dtype
+            ).enable_refresh()
+        elif backend == "halo":
+            self.halo = HaloHierarchy(
+                As, Ps, mesh, cfg=cfg, dtype=dtype, reorder=reorder
+            ).enable_refresh()
+        else:
+            raise ValueError(f"unknown backend {backend!r} (well|halo)")
 
     def step(self, U: np.ndarray):
         """One flow step; returns (U_next, r_his list, converged)."""

@@ -13,6 +13,13 @@ identity rows (diag 1, rhs 0), so all blocks are equal-shape and XLA sees
 static shapes.  The smoother for the sharded path is damped Jacobi — one
 fused SpMV + axpy per sweep, the bandwidth-optimal shape at scale — rather
 than multi-color Gauss-Seidel whose color groups shard irregularly.
+
+ROLE: CORRECTNESS REFERENCE.  This path (like parallel/halo.py) runs its
+per-shard SpMVs on the XLA ELL gather, which this TPU executes serially
+(~6.8 ns/element) — ~100x off the windowed Pallas kernel at mesh scale.
+The production multi-chip path is parallel/wellhalo.py (band-segment
+halos + the windowed kernel, including the sharded value refresh); keep
+this one for GSPMD cross-checks and as the simplest sharding spec.
 """
 
 from __future__ import annotations

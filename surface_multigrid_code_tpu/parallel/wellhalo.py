@@ -129,6 +129,26 @@ def _stack_colblocks(M: sp.spmatrix, nrows_pad: int, Rc: int,
     return sp.vstack(blocks).tocsr()
 
 
+def _exchange_seg(x_l, lo: int, hi: int, rep: bool, D: int):
+    """Band-segment halo exchange of a row-sharded vector (ppermute of
+    the contiguous head/tail segments), or full replication when the
+    consumer's window exceeds one neighbor block."""
+    if rep:
+        g = jax.lax.all_gather(x_l, "rows")
+        return g.reshape((-1,) + x_l.shape[1:])
+    parts = []
+    if lo:
+        parts.append(jax.lax.ppermute(
+            x_l[-lo:], "rows", [(i, i + 1) for i in range(D - 1)]
+        ))
+    parts.append(x_l)
+    if hi:
+        parts.append(jax.lax.ppermute(
+            x_l[:hi], "rows", [(i, i - 1) for i in range(1, D)]
+        ))
+    return jnp.concatenate(parts) if len(parts) > 1 else x_l
+
+
 def _localize(Ws, R: int):
     """Static-metadata view of stacked well groups for one device's shard
     (n_rows becomes the local row count; leaf arrays stay stacked and are
@@ -161,9 +181,13 @@ class WellHaloHierarchy:
         self.n0 = As[0].shape[0]
 
         # global induced-RCM ordering — same as the single-chip well path
+        self._A0_orig = As[0].tocsr().copy()
         perms = induced_orderings(finest_rcm(As[0].tocsr()), Ps)
         As, Ps = permute_hierarchy(As, Ps, perms)
         self.perm0 = perms[0]
+        self._As_perm = As
+        self._Ps_perm = Ps
+        self._refresh_state = None
 
         Rs = [_pad_to(A.shape[0], D * B_ROWS) // D for A in As]
         self.Rs = Rs
@@ -297,21 +321,7 @@ class WellHaloHierarchy:
             return jnp.stack(cols, axis=1)
 
         def exchange(lv, x_l):
-            if reps[lv]:
-                g = jax.lax.all_gather(x_l, "rows")
-                return g.reshape((-1,) + x_l.shape[1:])
-            parts = []
-            lo, hi = hlos[lv], hhis[lv]
-            if lo:
-                parts.append(jax.lax.ppermute(
-                    x_l[-lo:], "rows", [(i, i + 1) for i in range(D - 1)]
-                ))
-            parts.append(x_l)
-            if hi:
-                parts.append(jax.lax.ppermute(
-                    x_l[:hi], "rows", [(i, i - 1) for i in range(1, D)]
-                ))
-            return jnp.concatenate(parts) if len(parts) > 1 else x_l
+            return _exchange_seg(x_l, hlos[lv], hhis[lv], reps[lv], D)
 
         def smooth(lv, b_l, u_l, n_iter, sdinv):
             la = lvl_args[lv]
@@ -344,7 +354,21 @@ class WellHaloHierarchy:
             if lv == L - 1:
                 g = jax.lax.all_gather(b_l, "rows")
                 b_all = g.reshape((-1,) + b_l.shape[1:])
-                u_all = coarse_inv @ b_all
+                if coarse_inv.shape[1] == b_all.shape[0]:
+                    # static path: the replicated [nLp, nLp] inverse is
+                    # row-sharded by the in_specs, so this is the LOCAL
+                    # row block times the gathered rhs — u_all is already
+                    # this device's coarse rows and the dynamic_slice
+                    # below clamps to offset 0
+                    u_all = coarse_inv @ b_all
+                else:
+                    # refreshed coarse inverse is LOGICAL-sized (n_last,
+                    # replicated — computed inside the shard); padded
+                    # rows solve to zero (their rhs is a zero restriction
+                    # product)
+                    nLl = coarse_inv.shape[1]
+                    u_log = coarse_inv @ b_all[:nLl]
+                    u_all = jnp.zeros_like(b_all).at[:nLl].set(u_log)
                 me = jax.lax.axis_index("rows")
                 return u_l + jax.lax.dynamic_slice_in_dim(
                     u_all, me * Rs[lv], Rs[lv], axis=0)
@@ -427,6 +451,311 @@ class WellHaloHierarchy:
             {k: v for k, v in lv.items() if v is not None}
             for lv in self.levels
         ]
+
+    # ------------------------------------------------------------------
+    # sharded value refresh on the windowed kernel (slot-space G chain)
+    # ------------------------------------------------------------------
+    def enable_refresh(self):
+        """Build the stacked slot-space Galerkin value chain, after which
+        `solve_values(A0_vals, ...)` refreshes every level's operator
+        values AND solves inside one shard_map program — entirely on the
+        windowed Pallas kernel, with band-segment halos.
+
+        Design (the multi-chip analog of solver/wellrefresh.py): values
+        live in per-level ELL-SLOT space (slot (r, k) = r*w + k), so
+        device d's slot block [d*R_l*w_l, (d+1)*R_l*w_l) is exactly its
+        row block's ELL data — the refreshed slot vector feeds
+        well_repack_tap per shard as a pure reshape.  The per-level maps
+        (the 0/1 fill from the finest nnz vector, then the PT A P
+        contraction weights G_{l+1}) are banded under the global
+        induced-RCM ordering, so they stack/halo exactly like A/P/PT.
+        Serves the per-step MCF rebuild and the per-Newton balloon
+        re-Galerkin (reference 05_example_mean_curvature_flow/main.cpp:74,
+        sim_utils/implicit_euler_mg_balloon.h:67-78) at kernel speed
+        instead of the serial XLA gathers of parallel/halo.py's refresh.
+
+        Requires the hierarchy's As to carry the full SYMBOLIC PtAP
+        pattern (build them with solver.galerkin.galerkin_chain)."""
+        from surface_multigrid_code_tpu.solver.galerkin import (
+            galerkin_triples,
+        )
+        from surface_multigrid_code_tpu.solver.refresh import csr_slot_map
+        from surface_multigrid_code_tpu.solver.wellrefresh import (
+            _diag_slots,
+            _slot_space,
+        )
+
+        D = self.D
+        As, Ps = self._As_perm, self._Ps_perm
+        L = len(As)
+        dtype = self.dtype
+        shard = NamedSharding(self.mesh, P("rows", None))
+        vec = NamedSharding(self.mesh, P("rows"))
+
+        def put_well(Ws, R):
+            out = []
+            for W in _localize(Ws, R):
+                out.append(dataclasses.replace(
+                    W,
+                    rb=jax.device_put(W.rb, vec),
+                    hb=jax.device_put(W.hb, vec),
+                    hi=jax.device_put(W.hi, shard),
+                    lo=jax.device_put(W.lo, shard),
+                    dat=jax.device_put(W.dat, shard),
+                    ob=None if W.ob is None else jax.device_put(W.ob, vec),
+                ))
+            return tuple(out)
+
+        # original canonical CSR order -> permuted order (host map)
+        A0p = As[0].tocsr()
+        A0p.sum_duplicates()
+        invp = np.empty(self.n0, dtype=np.int64)
+        invp[self.perm0] = np.arange(self.n0)
+        orows = np.repeat(
+            np.arange(self.n0, dtype=np.int64),
+            np.diff(self._A0_orig.indptr),
+        )
+        slot_of_orig = csr_slot_map(
+            A0p, invp[orows], invp[self._A0_orig.indices]
+        )
+        perm_nnz = np.empty_like(slot_of_orig)
+        perm_nnz[slot_of_orig] = np.arange(slot_of_orig.shape[0])
+        self._perm_nnz = perm_nnz
+
+        Rin = _pad_to(A0p.nnz, D * B_ROWS) // D
+        self._Rin = Rin
+
+        g_wells, g_ex, slot_shapes = [], [], []
+        diag_off, diag_valid = [], []
+
+        def add_level_meta(pattern, n_l, w_l, slot):
+            ds = _diag_slots(pattern, n_l, w_l, slot)  # global slot ids
+            npad = self.Rs[len(slot_shapes) - 1] * D
+            off = np.zeros(npad, dtype=np.int32)
+            val = np.zeros(npad, dtype=np.float64)
+            off[:n_l] = (ds - np.arange(n_l) * w_l).astype(np.int32)
+            val[:n_l] = 1.0
+            diag_off.append(jax.device_put(jnp.asarray(off), vec))
+            diag_valid.append(
+                jax.device_put(jnp.asarray(val, dtype=dtype), vec))
+
+        def add_chain_op(G, Rr, Rc):
+            lo, hi = _col_extents(G, Rr, Rc, D)
+            lo = _pad_to(lo, B_ROWS)
+            hi = _pad_to(hi, B_ROWS)
+            rep = not (lo <= Rc and hi <= Rc)
+            if rep:
+                lo = hi = 0
+            Gstk = _stack_blocks(G, Rr, Rc, D, lo, hi, rep)
+            # cap: G operators are wide (up to ~150 contributions per
+            # coarse slot); tighter groups keep Mosaic's scoped-VMEM
+            # stack happy (solver/wellrefresh.py uses the same cap)
+            g_wells.append(put_well(
+                build_well_auto(Gstk, dtype=dtype, cap=2048), Rr))
+            g_ex.append((lo, hi, rep))
+
+        # level 0: 0/1 fill from the (permuted-order) nnz vector to slots
+        n0s, w0, slot0 = _slot_space(A0p)
+        slot_shapes.append((n0s, w0))
+        add_level_meta(A0p, n0s, w0, slot0)
+        fill = sp.csr_matrix(
+            (np.ones(A0p.nnz), (slot0, np.arange(A0p.nnz))),
+            shape=(n0s * w0, A0p.nnz),
+        )
+        add_chain_op(fill, self.Rs[0] * w0, Rin)
+
+        A_sym, prev_slot, prev_w, prev_n = A0p, slot0, w0, n0s
+        for lv in range(L - 1):
+            seg, in_id, wgt, A_out = galerkin_triples(A_sym, Ps[lv].tocsr())
+            stored = As[lv + 1].tocsr()
+            stored.sum_duplicates()
+            if A_out.nnz != stored.nnz or not (
+                np.array_equal(A_out.indptr, stored.indptr)
+                and np.array_equal(A_out.indices, stored.indices)
+            ):
+                raise ValueError(
+                    f"level {lv + 1} pattern mismatch (symbolic "
+                    f"{A_out.nnz} vs stored {stored.nnz} nnz): build the "
+                    "hierarchy's As with solver.galerkin.galerkin_chain"
+                )
+            nc, wc, slot_c = _slot_space(A_out)
+            slot_shapes.append((nc, wc))
+            add_level_meta(A_out, nc, wc, slot_c)
+            G = sp.coo_matrix(
+                (wgt, (slot_c[seg], prev_slot[in_id])),
+                shape=(nc * wc, prev_n * prev_w),
+            ).tocsr()
+            G.sum_duplicates()
+            add_chain_op(G, self.Rs[lv + 1] * wc, self.Rs[lv] * prev_w)
+            A_sym, prev_slot, prev_w, prev_n = A_out, slot_c, wc, nc
+
+        self._g_ex = tuple(g_ex)
+        self._slot_shapes = tuple(slot_shapes)
+
+        # coarsest dense assembly coordinates, per slot (padding slots ->
+        # (0, 0) with zero values); SHARDED over slot blocks so each
+        # device scatters its partial and the logical dense is psum'd
+        AL = A_sym
+        nL, wL = slot_shapes[-1]
+        self._n_last = nL
+        self._coarse_shift = 1e-12
+        npadL = self.Rs[-1] * D * wL
+        rowsL = np.zeros(npadL, dtype=np.int64)
+        colsL = np.zeros(npadL, dtype=np.int64)
+        slotL = prev_slot  # of AL
+        rL = np.repeat(np.arange(nL, dtype=np.int64), np.diff(AL.indptr))
+        rowsL[slotL] = rL
+        colsL[slotL] = AL.indices
+        self._refresh_state = {
+            "G": tuple(g_wells),
+            "diag_off": tuple(diag_off),
+            "diag_valid": tuple(diag_valid),
+            "rowsL": jax.device_put(jnp.asarray(rowsL), vec),
+            "colsL": jax.device_put(jnp.asarray(colsL), vec),
+        }
+        return self
+
+    def _refresh_in_shard(self, rargs, lvl_args, vals_l):
+        """Inside shard_map: run the slot-space value chain, repack every
+        level's windowed dat (pure reshape), extract diagonals, refresh
+        the Chebyshev Gershgorin bound, and rebuild the coarse inverse."""
+        from surface_multigrid_code_tpu.ops.well import well_repack_tap
+
+        D = self.D
+        cfg = self.cfg
+        L = len(lvl_args)
+        x = vals_l
+        new_lvls = []
+        for lv in range(L):
+            lo, hi, rep = self._g_ex[lv]
+            y = well_apply(
+                rargs["G"][lv], _exchange_seg(x, lo, hi, rep, D),
+                unpadded=False,
+            )
+            n_l, w_l = self._slot_shapes[lv]
+            y2d = y.reshape(self.Rs[lv], w_l)
+            la = dict(lvl_args[lv])
+            la["Aw"] = well_repack_tap(la["Aw"], y2d.astype(self.dtype))
+            off = rargs["diag_off"][lv]
+            valid = rargs["diag_valid"][lv]
+            dval = jnp.take_along_axis(y2d, off[:, None], axis=1)[:, 0]
+            la["diag"] = jnp.where(valid > 0, dval, 1.0).astype(self.dtype)
+            if cfg.smoother == SmootherType.CHEBYSHEV and lv < L - 1:
+                # sharded power iteration on D^-1 A with the FRESH values
+                # — the same estimator (12 iterations, uniform start,
+                # 1.1x margin) as the single-chip refresh
+                # (solver/refresh._device_lam_max) so Chebyshev iterates
+                # match the single-device trajectory
+                dinv = 1.0 / la["diag"]
+                Aw_new = la["Aw"]
+                hlo, hhi, rep = self.hlos[lv], self.hhis[lv], self.reps[lv]
+                x0 = valid / jnp.sqrt(
+                    jnp.asarray(n_l, dtype=self.dtype))
+
+                def pw_body(i, xl, Aw_new=Aw_new, dinv=dinv, hlo=hlo,
+                            hhi=hhi, rep=rep):
+                    xx, lam = xl
+                    yv = well_apply(
+                        Aw_new, _exchange_seg(xx, hlo, hhi, rep, D),
+                        unpadded=False,
+                    ) * dinv
+                    lam = jnp.sqrt(jax.lax.psum((yv * yv).sum(), "rows"))
+                    return (yv / lam, lam)
+
+                _, lam = jax.lax.fori_loop(
+                    0, 12, pw_body,
+                    (x0, jnp.asarray(1.0, dtype=self.dtype)),
+                )
+                la["lam_max"] = 1.1 * lam
+            new_lvls.append(la)
+            x = y
+        # logical-size coarse dense: per-shard partial scatter + psum,
+        # then the SPD Cholesky inverse (solver/refresh.py semantics)
+        nL = self._n_last
+        dense = jnp.zeros((nL, nL), dtype=self.dtype)
+        dense = dense.at[rargs["rowsL"], rargs["colsL"]].add(
+            x.astype(self.dtype)
+        )
+        dense = jax.lax.psum(dense, "rows")
+        dense = dense + self._coarse_shift * jnp.eye(nL, dtype=self.dtype)
+        chol = jnp.linalg.cholesky(dense)
+        cinv = jax.scipy.linalg.cho_solve(
+            (chol, True), jnp.eye(nL, dtype=self.dtype)
+        )
+        return new_lvls, cinv
+
+    def _get_sm_refresh(self, max_iter: int, ndim: int):
+        key = ("refresh", max_iter, ndim)
+        if key in self._sm_cache:
+            return self._sm_cache[key]
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+
+        def spec_of(v):
+            if v.ndim == 0:
+                return P()
+            if v.ndim == 1:
+                return P("rows")
+            return P(*(("rows",) + (None,) * (v.ndim - 1)))
+
+        def body(rargs, vals_l, args, rhs_l, z_l, tol):
+            lvls, _cinv0 = args
+            new_lvls, cinv = self._refresh_in_shard(rargs, lvls, vals_l)
+            return self._shard_body(
+                new_lvls, cinv, rhs_l, z_l, tol, max_iter
+            )
+
+        example_args = (self._lvl_args(), self.coarse_inv)
+        arg_specs = jax.tree_util.tree_map(spec_of, example_args)
+        rspecs = jax.tree_util.tree_map(spec_of, self._refresh_state)
+        kwargs = dict(
+            mesh=self.mesh,
+            in_specs=(rspecs, P("rows"), arg_specs, P("rows"), P("rows"),
+                      P()),
+            out_specs=(P("rows"), P(), P()),
+        )
+        try:
+            sm = shard_map(body, check_vma=False, **kwargs)
+        except TypeError:  # older API spelling
+            sm = shard_map(body, check_rep=False, **kwargs)
+        fn = jax.jit(sm)
+        self._sm_cache[key] = fn
+        return fn
+
+    def solve_values(self, A0_vals, rhs, z0=None, tolerance=1e-3,
+                     max_iter=20):
+        """Refresh all levels from finest nnz values (ORIGINAL canonical
+        CSR order of the pattern this hierarchy was built from) + solve,
+        in one jitted sharded program.  Requires enable_refresh().
+        Mirrors HaloHierarchy.solve_values."""
+        assert self._refresh_state is not None, "call enable_refresh() first"
+        vals = np.asarray(A0_vals, dtype=np.float64)[self._perm_nnz]
+        vals_p = np.zeros(self._Rin * self.D)
+        vals_p[: vals.shape[0]] = vals
+        rhs = np.asarray(rhs, dtype=np.float64)
+        n_pad = self.Rs[0] * self.D
+        tail = rhs.shape[1:]
+        rhs_p = np.zeros((n_pad,) + tail)
+        rhs_p[: self.n0] = rhs[self.perm0]
+        z0_p = np.zeros((n_pad,) + tail)
+        if z0 is not None:
+            z0_p[: self.n0] = np.asarray(z0, dtype=np.float64)[self.perm0]
+        fn = self._get_sm_refresh(int(max_iter), rhs.ndim)
+        z, r_his, k = fn(
+            self._refresh_state,
+            jnp.asarray(vals_p, dtype=self.dtype),
+            (self._lvl_args(), self.coarse_inv),
+            jnp.asarray(rhs_p, dtype=self.dtype),
+            jnp.asarray(z0_p, dtype=self.dtype),
+            jnp.asarray(float(tolerance), dtype=self.dtype),
+        )
+        k = int(k)
+        r_list = [float(r) for r in np.asarray(r_his)[:k]]
+        z_out = np.empty((self.n0,) + tail)
+        z_out[self.perm0] = np.asarray(z, dtype=np.float64)[: self.n0]
+        return z_out, r_list, bool(r_list and r_list[-1] <= tolerance)
 
     def solve(self, rhs, z0=None, tolerance=1e-3, max_iter=20):
         """Mirror of HaloHierarchy.solve.  1-D or multi-column RHS; for

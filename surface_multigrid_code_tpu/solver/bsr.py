@@ -191,12 +191,15 @@ def _bsr_gershgorin_lam(A: BSRMatrix, diag):
     """Gershgorin UPPER bound on lam_max(D^-1 A) for the Chebyshev window:
     max_i sum_j |a_ij| / d_i over the 3nv scalar rows.
 
-    Unlike power iteration this can never underestimate — an
-    underestimated window amplifies the modes above it and the V-cycle
-    diverges to overflow (observed on the balloon at inflation pressure
-    1e6 before per-face PSD projection was added).  It is also cheaper:
-    one pass over the blocks instead of 12 SpMVs, which retires the
-    lam-hoisting machinery the power iteration needed."""
+    Guaranteed-safe (can never underestimate) but LOOSE on shell
+    Hessians: measured on bunny_15K at pressure 1e6 the bound widens the
+    window enough that the tol-2e-1 solve stops converging within 20
+    cycles where the power-iteration estimate needs 12
+    (probe_balloon_profile_r3.py solve_cycles_gersh/power).  With the
+    per-face PSD projection (models/shell.psd_project_blocks) removing
+    the indefiniteness that actually diverged the smoother, power
+    iteration + 10% margin is the default; this bound is kept for
+    callers that want the certified-safe window."""
     rowsum = jnp.abs(A.blocks).sum(axis=(1, 3))  # [nv, 3]
     return jnp.max(rowsum / jnp.abs(diag))
 
@@ -344,7 +347,7 @@ class BsrRefreshableSolver:
             return None
         if lam_in is not None and lam_in[lv] is not None:
             return lam_in[lv]
-        return _bsr_gershgorin_lam(A, diag3)
+        return _bsr_device_lam_max(A, diag3)
 
     def _refresh_well(self, state, B0_vals: jnp.ndarray,
                       lam_in=None) -> BsrHierarchy:

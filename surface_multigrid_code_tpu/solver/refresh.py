@@ -294,15 +294,13 @@ class RefreshableMGSolver:
                 if lam_in is not None and lam_in[lv] is not None:
                     lam_max = lam_in[lv]
                 else:
-                    # Gershgorin UPPER bound: a power-iteration
-                    # underestimate makes the Chebyshev window amplify
-                    # the modes above it (divergence to overflow,
-                    # observed on the balloon at pressure 1e6); the
-                    # bound is also one pass over the values instead of
-                    # 12 SpMVs.
-                    lam_max = jnp.max(
-                        jnp.abs(data).sum(axis=1) / jnp.abs(diag)
-                    )
+                    # power iteration + 10% margin; the certified-safe
+                    # Gershgorin bound widens the Chebyshev window enough
+                    # to cost ~2x the V-cycles (measured,
+                    # probe_balloon_profile_r3.py) — the divergence it
+                    # would prevent is removed at the source by the
+                    # per-face PSD projection (models/shell.py)
+                    lam_max = _device_lam_max(ell, diag)
             levels.append(
                 DeviceLevel(
                     A=ell,
