@@ -63,6 +63,7 @@ class RefreshableMGSolver:
         coarsest_shift: float = 1e-12,
         prune_threshold: float = 1e-15,
         well: bool | None = None,
+        chain: bool | None = None,
     ):
         self.cfg = cfg or SolveConfig(smoother=SmootherType.JACOBI)
         self.dtype = dtype
@@ -150,6 +151,7 @@ class RefreshableMGSolver:
                 )
         self.A0_pattern = A0
         self.plan: GalerkinPlan = build_galerkin_plan(A0, Ps)
+        self._chain = None
         if self.well and self.known.size:
             # constrained: route the permutation through the existing
             # full->Auu gather
@@ -178,6 +180,24 @@ class RefreshableMGSolver:
                     tail_idx=jnp.asarray(vm[np.asarray(lv1.tail_idx)]),
                 )
             self.plan = GalerkinPlan(levels=tuple(new_levels), lvl0=new_l0)
+            # windowed value chain (solver/wellrefresh.py): the Galerkin
+            # contraction itself runs as banded slot-space kernel SpMVs
+            # instead of XLA's serial per-element gathers — the same
+            # rebuild the BSR balloon solver uses. Values enter in the
+            # ORIGINAL canonical order via one device gather (val_map).
+            # Off-CPU only by default: the chain is a TPU optimization
+            # (XLA:CPU gathers are fast, and interpret-mode Pallas chains
+            # are orders of magnitude slower in tests); chain=True forces
+            # it (coverage tests do).
+            if chain is None:
+                chain = jax.default_backend() != "cpu"
+            if chain:
+                from surface_multigrid_code_tpu.solver.wellrefresh import (
+                    WellRefreshChain,
+                )
+
+                self._chain = WellRefreshChain(A0, Ps, dtype=dtype)
+                self._val_map = jnp.asarray(val_map)
         self.P_ell = [ell_from_csr(P, dtype=dtype) for P in Ps]
         self.PT_ell = [ell_from_csr(P.T.tocsr(), dtype=dtype) for P in Ps]
         if self.well:
@@ -242,6 +262,10 @@ class RefreshableMGSolver:
                 P_well=tuple(self.P_well),
                 PT_well=tuple(self.PT_well),
             )
+        if self._chain is not None:
+            self._state.update(
+                chain=self._chain.state(), val_map=self._val_map
+            )
         if self.known.size:
             self._state.update(
                 uu_map=self._uu_map,
@@ -271,7 +295,24 @@ class RefreshableMGSolver:
         prologue refresh instead."""
         plan = state["plan"]
         plans = [plan.lvl0, *plan.levels]
-        levels_vals = refresh_values(plan, A0_vals.astype(self.dtype))
+        if "chain" in state:
+            # windowed slot-space value chain (solver/wellrefresh.py):
+            # the Galerkin contraction runs as banded kernel SpMVs, not
+            # XLA's serial per-element gathers. One device gather maps
+            # the caller's ORIGINAL canonical nnz order into the
+            # kernel's permuted order.
+            vperm = A0_vals.astype(self.dtype)[state["val_map"]]
+            planes = self._chain.apply_planes(
+                state["chain"], vperm[None, :]
+            )
+            levels_vals = []
+            for lv, y in enumerate(planes):
+                n, w = self._chain.ell_shapes[lv]
+                data = y[0].reshape(n, w)
+                diag = y[0][state["chain"]["diag_slots"][lv]]
+                levels_vals.append((data, diag))
+        else:
+            levels_vals = refresh_values(plan, A0_vals.astype(self.dtype))
         levels = []
         L = len(plans)
         groups = state["groups"]

@@ -60,3 +60,48 @@ def test_refresh_matches_full_precompute(setup):
         assert len(r1) == len(r2)
         np.testing.assert_allclose(r1, r2, rtol=1e-6)
         np.testing.assert_allclose(z1, z2, rtol=1e-6, atol=1e-10)
+
+
+def test_refresh_chain_matches_plan_gathers():
+    """The windowed slot-space value chain (solver/wellrefresh.py routed
+    through RefreshableMGSolver(chain=True)) must produce the same
+    refreshed hierarchy values as the plan-gather path — small forced
+    case; the chain is otherwise TPU-only (interpret-mode Pallas is too
+    slow for routine CPU tests)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from surface_multigrid_code_tpu.config import SolveConfig, SmootherType
+    from surface_multigrid_code_tpu.ops.laplacian import cotmatrix, massmatrix
+    from surface_multigrid_code_tpu.solver.hierarchy import mg_precompute
+    from surface_multigrid_code_tpu.solver.refresh import RefreshableMGSolver
+    from surface_multigrid_code_tpu.utils.synthetic import icosphere
+
+    V, F = icosphere(2)
+    mg = mg_precompute(V, F, min_coarsest_nv=40, verbose=False)
+    A = (massmatrix(V, F) - 0.01 * cotmatrix(V, F)).tocsr()
+    A.sum_duplicates()
+    A.sort_indices()
+    cfg = SolveConfig(smoother=SmootherType.JACOBI)
+    s0 = RefreshableMGSolver(mg, A, cfg=cfg, dtype=jnp.float64, well=True,
+                             chain=False)
+    s1 = RefreshableMGSolver(mg, A, cfg=cfg, dtype=jnp.float64, well=True,
+                             chain=True)
+    A2 = (2.0 * massmatrix(V, F) - 0.005 * cotmatrix(V, F)).tocsr()
+    A2.sum_duplicates()
+    A2.sort_indices()
+    for vals in (A.data, A2.data):
+        h0 = s0._refresh_impl(s0._state, jnp.asarray(vals))
+        h1 = s1._refresh_impl(s1._state, jnp.asarray(vals))
+        for l0, l1 in zip(h0.levels, h1.levels):
+            np.testing.assert_allclose(
+                np.asarray(l1.A.data), np.asarray(l0.A.data),
+                rtol=0, atol=1e-13,
+            )
+            np.testing.assert_allclose(
+                np.asarray(l1.diag), np.asarray(l0.diag), rtol=0,
+                atol=1e-13,
+            )
+        np.testing.assert_allclose(
+            np.asarray(h1.coarse_inv), np.asarray(h0.coarse_inv),
+            rtol=1e-8,
+        )
