@@ -440,6 +440,40 @@ _AUTO_QS = (
 )
 
 
+def well_tap_group_count(A: sp.spmatrix, cap: int = _UNROLL_CAP) -> int:
+    """How many kernel groups a tap-recentered layout of A needs under
+    the given unroll cap — WITHOUT packing/uploading anything (cheap
+    host pass).  Each group compiles as its own Mosaic kernel (~10-60 s
+    of TPU-side compile), so callers building CHAINS of operators (e.g.
+    solver/wellrefresh.py) use this to refuse pathologically wide ones:
+    a boundary-heavy hierarchy's Galerkin maps measured 223 groups on
+    ogre (a 40+ min compile) vs 17 on bunny."""
+    idx, struct, val, n, m, w, nb = _stage_ell(A)
+    sub = (idx // LANE).reshape(nb, B_ROWS, w)
+    st = struct.reshape(nb, B_ROWS, w)
+    big = np.int64(1) << 40
+    sub_min = np.where(st, sub, big).min(axis=1)
+    sub_max = np.where(st, sub, np.int64(-1)).max(axis=1)
+    empty = sub_max < 0
+    rb = np.where(
+        np.where(empty, big, sub_min).min(axis=1) == big,
+        0,
+        np.where(empty, big, sub_min).min(axis=1) // 8 * 8,
+    )
+    ob = np.maximum(
+        np.where(empty, 0, sub_min // 8 * 8 - rb[:, None]), 0
+    )
+    span = np.where(empty, 1, sub_max - (rb[:, None] + ob) + 1)
+    ht = (-(-np.maximum(span.max(axis=0), 1) // 8) * 8).astype(np.int64)
+    groups, acc = 1, 0
+    for k in range(w):
+        if acc and acc + int(ht[k]) > cap:
+            groups += 1
+            acc = 0
+        acc += int(ht[k])
+    return groups
+
+
 def build_well_auto(
     A: sp.spmatrix, dtype=jnp.float32, cap: int = _UNROLL_CAP,
 ) -> tuple:

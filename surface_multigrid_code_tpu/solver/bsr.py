@@ -318,8 +318,22 @@ class BsrRefreshableSolver:
             self.nnz_perm[new_of_old] = np.arange(Av.nnz)
         self.pattern_v = Av
         self.coarsest_shift = float(coarsest_shift)
+        self.chain = None
         if self.well:
-            self.chain = WellRefreshChain(Av, Ps, dtype=dtype)
+            from surface_multigrid_code_tpu.solver.wellrefresh import (
+                ChainTooWide,
+            )
+
+            try:
+                self.chain = WellRefreshChain(Av, Ps, dtype=dtype)
+            except ChainTooWide:
+                # boundary-heavy hierarchies can need 100s of chain
+                # kernel groups (minutes of Mosaic compile each) — fall
+                # back to the XLA plan-gather refresh; the ordering/
+                # permutation machinery stays (harmless without the
+                # chain)
+                self.chain = None
+        if self.chain is not None:
             self._state = {
                 "chain": self.chain.state(),
                 "P_ell": tuple(ell_from_csr(P, dtype=dtype) for P in Ps),
@@ -338,6 +352,8 @@ class BsrRefreshableSolver:
                     ell_from_csr(P.T.tocsr(), dtype=dtype) for P in Ps
                 ),
             }
+            if self.nnz_perm is not None:
+                self._state["nnz_perm"] = jnp.asarray(self.nnz_perm)
         self._refresh = jax.jit(self._refresh_impl)
         self._solve = jax.jit(self._solve_impl, static_argnames=("max_iter",))
 
@@ -405,7 +421,7 @@ class BsrRefreshableSolver:
 
     def _refresh_impl(self, state, B0_vals: jnp.ndarray,
                       lam_in=None) -> BsrHierarchy:
-        if self.well:
+        if self.chain is not None:
             return self._refresh_well(state, B0_vals, lam_in)
         plan = state["plan"]
         plans = [plan.lvl0, *plan.levels]

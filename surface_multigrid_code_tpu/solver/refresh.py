@@ -193,11 +193,18 @@ class RefreshableMGSolver:
                 chain = jax.default_backend() != "cpu"
             if chain:
                 from surface_multigrid_code_tpu.solver.wellrefresh import (
+                    ChainTooWide,
                     WellRefreshChain,
                 )
 
-                self._chain = WellRefreshChain(A0, Ps, dtype=dtype)
-                self._val_map = jnp.asarray(val_map)
+                try:
+                    self._chain = WellRefreshChain(A0, Ps, dtype=dtype)
+                    self._val_map = jnp.asarray(val_map)
+                except ChainTooWide:
+                    # boundary-heavy hierarchies can need 100s of kernel
+                    # groups (minutes of Mosaic compile EACH); the plan
+                    # gathers stay the refresh path there
+                    self._chain = None
         self.P_ell = [ell_from_csr(P, dtype=dtype) for P in Ps]
         self.PT_ell = [ell_from_csr(P.T.tocsr(), dtype=dtype) for P in Ps]
         if self.well:

@@ -32,8 +32,19 @@ import scipy.sparse as sp
 
 import jax.numpy as jnp
 
-from surface_multigrid_code_tpu.ops.well import build_well_auto, well_apply
+from surface_multigrid_code_tpu.ops.well import (
+    build_well_auto,
+    well_apply,
+    well_tap_group_count,
+)
 from surface_multigrid_code_tpu.solver.galerkin import galerkin_triples
+
+
+class ChainTooWide(Exception):
+    """The chain's operators would need more kernel groups than
+    max_groups allows — each group is its own Mosaic kernel compile
+    (minutes each on wide boundary-heavy Galerkin maps), so callers fall
+    back to the XLA plan-gather refresh instead."""
 
 
 def _slot_space(pattern: sp.csr_matrix):
@@ -80,16 +91,34 @@ class WellRefreshChain:
     """
 
     def __init__(self, pattern0: sp.spmatrix, Ps: list[sp.spmatrix],
-                 dtype=jnp.float32, cap: int = 2048):
+                 dtype=jnp.float32, cap: int = 2048,
+                 max_groups: int | None = 64):
         # cap: unroll budget per kernel group — G operators can be very
         # wide (bunny bending: up to ~150 contributions per coarse entry),
         # and wide groups overflow Mosaic's 16M scoped-VMEM stack even
         # under the default _UNROLL_CAP; a tighter cap splits them into
         # more, smaller chained kernels (G is value-static, so any
         # grouping is fine).
+        # max_groups: total kernel-group budget across the chain — each
+        # group is its own Mosaic compile; raise ChainTooWide beyond it
+        # (measured: ogre's boundary-heavy maps need 223 groups = 40+ min
+        # of compiles, bunny 17).
         A = pattern0.tocsr().copy()
         A.sum_duplicates()
         n, w, slot = _slot_space(A)
+
+        n_groups = 0
+
+        def build(M):
+            nonlocal n_groups
+            if max_groups is not None:
+                n_groups += well_tap_group_count(M, cap=cap)
+                if n_groups > max_groups:
+                    raise ChainTooWide(
+                        f"chain needs >{max_groups} kernel groups"
+                    )
+            return build_well_auto(M, dtype=dtype, cap=cap)
+
         self.patterns = [A]
         self.ell_shapes = [(n, w)]
         self.ell_indices = [jnp.asarray(_ell_indices(A, n, w, slot))]
@@ -99,7 +128,7 @@ class WellRefreshChain:
             (np.ones(A.nnz), (slot, np.arange(A.nnz))),
             shape=(n * w, A.nnz),
         )
-        self.wells = [build_well_auto(fill, dtype=dtype, cap=cap)]
+        self.wells = [build(fill)]
         prev_slot, prev_nw = slot, n * w
         for P in Ps:
             seg, in_id, wgt, A_out = galerkin_triples(A, P.tocsr())
@@ -109,7 +138,7 @@ class WellRefreshChain:
                 shape=(nc * wc, prev_nw),
             ).tocsr()
             G.sum_duplicates()
-            self.wells.append(build_well_auto(G, dtype=dtype, cap=cap))
+            self.wells.append(build(G))
             self.patterns.append(A_out)
             self.ell_shapes.append((nc, wc))
             self.ell_indices.append(
