@@ -1177,6 +1177,319 @@ def well_spmv(W: WellMatrix, x: jnp.ndarray, unpadded: bool = True,
     return y[: W.n_rows] if unpadded else y
 
 
+@partial(jax.jit, static_argnames=("unpadded", "interpret"))
+def well_spmv_block3(
+    W: WellMatrix, xp: jnp.ndarray, dats: tuple,
+    unpadded: bool = True, interpret: bool = False, acc=None,
+):
+    """3x3-BLOCK windowed SpMV: y[i] = sum_j A_ij @ x[j] for a vertex-graph
+    operator whose values are 3x3 blocks (the BSR balloon Hessian,
+    solver/bsr.py) — one kernel resolves the shared select chain once and
+    contracts all 9 block components against the 3 input planes.
+
+    W: structural layout of the VERTEX-graph pattern (dat ignored).
+    xp: planes [3, n_cols].  dats: 9 packed dat arrays (well_repack_tap
+    outputs' dat leaves, row-major ij order) matching W's group layout.
+    Returns planes [3, n_rows].  acc: optional [3, nb*B_ROWS] partials.
+
+    Why: the XLA row-gather BSR SpMV costs ~0.75 ns/element (bunny_15K
+    finest: 0.43 ms) — better than the serial scalar path but still
+    gather-bound; the select chain shares its one-hot masks across the 3
+    planes and 9 components (~10 VPU ops/chain-row + 18 FMA/tap vs the
+    scalar kernel's 4 + 2).  Tap/dia(q=1)/legacy layouts supported (the
+    vertex graphs build_well_auto produces); phase-split integer slopes
+    are not (square operators never pick them)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    interpret = interpret or jax.default_backend() == "cpu"
+    nb, w, H, XR = W.nb, W.w, W.H, W.XR
+    C = 3
+    assert xp.shape[0] == C and len(dats) == 9
+    if W.q is not None and W.q[1] == 1 and W.q[0] > 1:
+        raise NotImplementedError("block3 kernel: phase-split layouts")
+    if W.xpad == 0 and xp.shape[1] == XR * LANE:
+        x2d = xp.astype(dats[0].dtype).reshape(C, XR, LANE)
+    else:
+        x_pad = jnp.zeros((C, XR * LANE), dtype=dats[0].dtype)
+        x_pad = jax.lax.dynamic_update_slice(
+            x_pad, xp.astype(dats[0].dtype), (0, W.xpad * B_ROWS)
+        )
+        x2d = x_pad.reshape(C, XR, LANE)
+
+    ex_in = ()
+    if acc is not None:
+        ex_in += (_plane_tiles(acc, nb).astype(dats[0].dtype),)
+    n_ex = len(ex_in)
+
+    mat_spec = pl.BlockSpec((w * SUB, LANE), lambda b, *pf: (b, 0))
+    ex_specs = [
+        pl.BlockSpec((C, SUB, LANE), lambda b, *pf: (0, b, 0))
+        for _ in range(n_ex)
+    ]
+    out_spec = pl.BlockSpec((C, SUB, LANE), lambda b, *pf: (0, b, 0))
+    out_shape = jax.ShapeDtypeStruct((C, nb * SUB, LANE), dats[0].dtype)
+
+    def finish(y3d):
+        y = y3d.reshape(C, nb * B_ROWS)
+        return y[:, : W.n_rows] if unpadded else y
+
+    def contract(accs, gs, dat_refs, k):
+        # accs[i] += sum_j dat_ij * g_j
+        out = []
+        for i in range(3):
+            a = accs[i]
+            for j in range(3):
+                dk = dat_refs[3 * i + j][k * SUB:(k + 1) * SUB, :]
+                a = a + dk * gs[j]
+            out.append(a)
+        return out
+
+    if W.ht is not None and W.q is None:
+        # tap-recentered mode
+        ht = W.ht
+        H8 = H // SUB
+        x4d = x2d.reshape(C, XR // SUB, SUB, LANE)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nb,),
+            in_specs=[mat_spec, mat_spec]
+            + [mat_spec] * 9
+            + ex_specs
+            + [pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=out_spec,
+            scratch_shapes=[
+                pltpu.VMEM((C, H8, SUB, LANE), dats[0].dtype),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        )
+
+        def tap_kernel(*refs):
+            rb_ref, ob_ref, hi_ref, lo_ref = refs[:4]
+            dat_refs = refs[4:13]
+            ex = refs[13:13 + n_ex]
+            x_hbm, y_ref, win, sem = refs[13 + n_ex:]
+            b = pl.program_id(0)
+            rb0 = rb_ref[b] // SUB
+            cp = pltpu.make_async_copy(
+                x_hbm.at[:, pl.ds(rb0, H8), :, :], win, sem
+            )
+            cp.start()
+            cp.wait()
+            accs = [
+                jnp.zeros((SUB, LANE), dtype=y_ref.dtype) for _ in range(3)
+            ]
+            if n_ex:
+                accs = [a + ex[0][c, :, :] for c, a in enumerate(accs)]
+            for k in range(w):
+                o = ob_ref[b * w + k] // SUB
+                hik = hi_ref[k * SUB:(k + 1) * SUB, :]
+                lok = lo_ref[k * SUB:(k + 1) * SUB, :]
+                subs = [
+                    win[c, pl.ds(o, ht[k] // SUB), :, :] for c in range(3)
+                ]
+                gs = [
+                    jnp.zeros((SUB, LANE), dtype=x_hbm.dtype)
+                    for _ in range(3)
+                ]
+                for h in range(ht[k]):
+                    mask = hik == h
+                    for c in range(3):
+                        row_b = jnp.broadcast_to(
+                            subs[c][h // SUB, h % SUB].reshape(1, LANE),
+                            (SUB, LANE),
+                        )
+                        t = jnp.take_along_axis(row_b, lok, axis=1)
+                        gs[c] = jnp.where(mask, t, gs[c])
+                accs = contract(accs, gs, dat_refs, k)
+            for i in range(3):
+                y_ref[i, :, :] = accs[i]
+
+        y3d = pl.pallas_call(
+            tap_kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(W.rb, W.ob, W.hi, W.lo, *dats, *ex_in, x4d)
+        return finish(y3d)
+
+    if W.q is not None:
+        # slope-1 / fractional diagonal mode
+        qn, qd = W.q
+        D = W.ht
+        qf7 = (qn * (SUB - 1)) // qd
+        T = [(D[k] - 1 + qf7) // 8 + 1 for k in range(w)]
+        H8 = H // SUB
+        x4d = x2d.reshape(C, XR // SUB, SUB, LANE)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nb,),
+            in_specs=[mat_spec, mat_spec]
+            + [mat_spec] * 9
+            + ex_specs
+            + [pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=out_spec,
+            scratch_shapes=[
+                pltpu.VMEM((C, H8, SUB, LANE), dats[0].dtype),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        )
+
+        def dia_kernel(*refs):
+            rb_ref, ob_ref, hi_ref, lo_ref = refs[:4]
+            dat_refs = refs[4:13]
+            ex = refs[13:13 + n_ex]
+            x_hbm, y_ref, win, sem = refs[13 + n_ex:]
+            b = pl.program_id(0)
+            rb0t = rb_ref[b] // SUB
+            cp = pltpu.make_async_copy(
+                x_hbm.at[:, pl.ds(rb0t, H8), :, :], win, sem
+            )
+            cp.start()
+            cp.wait()
+            accs = [
+                jnp.zeros((SUB, LANE), dtype=y_ref.dtype) for _ in range(3)
+            ]
+            if n_ex:
+                accs = [a + ex[0][c, :, :] for c, a in enumerate(accs)]
+            for k in range(w):
+                ot = ob_ref[b * w + k]
+                ddk = hi_ref[k * SUB:(k + 1) * SUB, :]
+                lok = lo_ref[k * SUB:(k + 1) * SUB, :]
+                V2s = [
+                    win[c, pl.ds(ot, T[k]), :, :].reshape(T[k] * SUB, LANE)
+                    for c in range(3)
+                ]
+                gs = [
+                    jnp.zeros((SUB, LANE), dtype=x_hbm.dtype)
+                    for _ in range(3)
+                ]
+                for d in range(D[k]):
+                    mask = ddk == d
+                    for c in range(3):
+                        if qd == 1:
+                            tile_d = jax.lax.slice(
+                                V2s[c], (d, 0),
+                                (d + (SUB - 1) * qn + 1, LANE), (qn, 1),
+                            )
+                        else:
+                            parts = []
+                            jj, srow = 0, 0
+                            while srow < SUB:
+                                cnt = min(qd, SUB - srow)
+                                parts.append(jnp.broadcast_to(
+                                    V2s[c][d + jj:d + jj + 1, :],
+                                    (cnt, LANE)))
+                                jj += 1
+                                srow += cnt
+                            tile_d = jnp.concatenate(parts, axis=0)
+                        t = jnp.take_along_axis(tile_d, lok, axis=1)
+                        gs[c] = jnp.where(mask, t, gs[c])
+                accs = contract(accs, gs, dat_refs, k)
+            for i in range(3):
+                y_ref[i, :, :] = accs[i]
+
+        y3d = pl.pallas_call(
+            dia_kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(W.rb, W.ob, W.hi, W.lo, *dats, *ex_in, x4d)
+        return finish(y3d)
+
+    # legacy whole-window mode
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nb,),
+        in_specs=[mat_spec, mat_spec]
+        + [mat_spec] * 9
+        + ex_specs
+        + [pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=out_spec,
+        scratch_shapes=[
+            pltpu.VMEM((C, H, LANE), dats[0].dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    unrolled = w * H <= _UNROLL_CAP
+
+    def kernel(*refs):
+        rb_ref, hb_ref, hi_ref, lo_ref = refs[:4]
+        dat_refs = refs[4:13]
+        ex = refs[13:13 + n_ex]
+        x_hbm, y_ref, win, sem = refs[13 + n_ex:]
+        b = pl.program_id(0)
+        rb0 = rb_ref[b]
+        span = hb_ref[b]
+        cp = pltpu.make_async_copy(x_hbm.at[:, pl.ds(rb0, H), :], win, sem)
+        cp.start()
+        cp.wait()
+        accs = [
+            jnp.zeros((SUB, LANE), dtype=y_ref.dtype) for _ in range(3)
+        ]
+        if n_ex:
+            accs = [a + ex[0][c, :, :] for c, a in enumerate(accs)]
+        for k in range(w):
+            hik = hi_ref[k * SUB:(k + 1) * SUB, :]
+            lok = lo_ref[k * SUB:(k + 1) * SUB, :]
+            if unrolled:
+                gs = [
+                    jnp.zeros((SUB, LANE), dtype=x_hbm.dtype)
+                    for _ in range(3)
+                ]
+                for h in range(H):
+                    mask = hik == h
+                    for c in range(3):
+                        row_b = jnp.broadcast_to(
+                            win[c, h, :].reshape(1, LANE), (SUB, LANE)
+                        )
+                        t = jnp.take_along_axis(row_b, lok, axis=1)
+                        gs[c] = jnp.where(mask, t, gs[c])
+            else:
+                def h_step(h, gs, hik=hik, lok=lok):
+                    mask = hik == h
+                    out = []
+                    for c in range(3):
+                        row_b = jnp.broadcast_to(
+                            win[c, pl.ds(h, 1), :], (SUB, LANE)
+                        )
+                        t = jnp.take_along_axis(row_b, lok, axis=1)
+                        out.append(jnp.where(mask, t, gs[c]))
+                    return tuple(out)
+
+                gs = list(jax.lax.fori_loop(
+                    0, span, h_step,
+                    tuple(
+                        jnp.zeros((SUB, LANE), dtype=x_hbm.dtype)
+                        for _ in range(3)
+                    ),
+                ))
+            accs = contract(accs, gs, dat_refs, k)
+        for i in range(3):
+            y_ref[i, :, :] = accs[i]
+
+    y3d = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(W.rb, W.hb, W.hi, W.lo, *dats, *ex_in, x2d)
+    return finish(y3d)
+
+
+def well_block3_apply(Ws, xp: jnp.ndarray, dats_groups, acc=None):
+    """Block SpMV over a WellMatrix or tuple of slot groups: dats_groups
+    is a tuple (per group) of 9-tuples of packed dat arrays."""
+    Ws = Ws if isinstance(Ws, tuple) else (Ws,)
+    dats_groups = (
+        dats_groups if isinstance(dats_groups[0], tuple) else (dats_groups,)
+    )
+    y = acc
+    for W, dats in zip(Ws, dats_groups):
+        y = well_spmv_block3(W, xp, dats, unpadded=False, acc=y)
+    return y
+
+
 def _apply_epi_planes(accs, ex, ex_kinds, epi, escale, y_ref):
     """Planes-mode epilogue: accs is a list of C [SUB, LANE] accumulators;
     ex are the extra operand refs in order, each percol [C, SUB, LANE]

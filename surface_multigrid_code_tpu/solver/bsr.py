@@ -77,9 +77,20 @@ class BsrLevel:
     P: ELLMatrix | None      # scalar-weight vertex prolongation (to finer)
     PT: ELLMatrix | None
     lam_max: jnp.ndarray | None = None
+    # windowed-kernel route (well mode): Aw = structural layout tuple of
+    # the VERTEX pattern, dats = per-group 9-tuples of packed block
+    # component planes (ops/well.well_spmv_block3); Pw/PTw = scalar
+    # transfer layouts (planes kernel); dinv_p = 1/diag as [3, npad]
+    # planes for the smoother updates
+    Aw: object | None = None
+    dats: tuple | None = None
+    Pw: object | None = None
+    PTw: object | None = None
+    dinv_p: jnp.ndarray | None = None
 
     def tree_flatten(self):
-        return (self.A, self.diag, self.P, self.PT, self.lam_max), None
+        return (self.A, self.diag, self.P, self.PT, self.lam_max,
+                self.Aw, self.dats, self.Pw, self.PTw, self.dinv_p), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -156,12 +167,113 @@ def bsr_vcycle(hier: BsrHierarchy, b, u, cfg: SolveConfig):
 import functools
 
 
+def _bsr_well_spmv(level: BsrLevel, xp):
+    """Block SpMV on the windowed kernel, planes [3, npad] in/out."""
+    from surface_multigrid_code_tpu.ops.well import well_block3_apply
+
+    return well_block3_apply(level.Aw, xp, level.dats)
+
+
+def _bsr_relax_planes(level: BsrLevel, bp, up, cfg: SolveConfig,
+                      n_iter: int):
+    dinv = level.dinv_p
+    if cfg.smoother == SmootherType.CHEBYSHEV and level.lam_max is not None:
+        lam_max = level.lam_max
+        lam_min = lam_max / 4.0
+        theta = 0.5 * (lam_max + lam_min)
+        delta = 0.5 * (lam_max - lam_min)
+        r = (bp - _bsr_well_spmv(level, up)) * dinv
+        d = r / theta
+        up = up + d
+        sigma = theta / delta
+        rho = 1.0 / sigma
+        for _ in range(n_iter - 1):
+            rho_new = 1.0 / (2.0 * sigma - rho)
+            r = (bp - _bsr_well_spmv(level, up)) * dinv
+            d = rho_new * rho * d + (2.0 * rho_new / delta) * r
+            up = up + d
+            rho = rho_new
+        return up
+    for _ in range(n_iter):
+        up = up + cfg.jacobi_weight * (
+            (bp - _bsr_well_spmv(level, up)) * dinv
+        )
+    return up
+
+
+def bsr_vcycle_planes(hier: BsrHierarchy, bp, up, cfg: SolveConfig):
+    """V-cycle on [3, npad] PLANES (windowed-kernel route): the block
+    smoother/residual run on well_spmv_block3 (shared select chain for
+    all 9 components), restriction/prolongation on the scalar planes
+    kernel — the XLA row gathers of bsr_spmv are off the hot path."""
+    from surface_multigrid_code_tpu.ops.well import well_apply
+
+    L = hier.n_levels
+
+    def go(lv, B, U):
+        level = hier.levels[lv]
+        if lv == L - 1:
+            nc = level.A.n_rows
+            b3 = B[:, :nc].T.reshape(3 * nc)
+            u3 = (hier.coarse_inv @ b3).reshape(nc, 3).T
+            return U.at[:, :nc].add(u3)
+        U = _bsr_relax_planes(level, B, U, cfg, cfg.pre_relax_iter)
+        r = B - _bsr_well_spmv(level, U)
+        nxt = hier.levels[lv + 1]
+        rc = well_apply(nxt.PTw, r, unpadded=False)
+        uc = go(lv + 1, rc, jnp.zeros_like(rc))
+        U = U + well_apply(nxt.Pw, uc, unpadded=False)
+        return _bsr_relax_planes(level, B, U, cfg, cfg.post_relax_iter)
+
+    return go(0, bp, up)
+
+
 @functools.partial(jax.jit, static_argnames=("max_iter", "cfg"))
 def bsr_solve_loop(hier: BsrHierarchy, rhs, z0, tol, max_iter: int,
                    cfg: SolveConfig):
     """V-cycle iteration with residual history (reference
     src/min_quad_with_fixed_mg.cpp:324-339 semantics: absolute 2-norm over
-    all 3nv entries, pre-cycle residual recording)."""
+    all 3nv entries, pre-cycle residual recording).
+
+    Windowed hierarchies (levels carry Aw/dats) run the whole loop in
+    planes layout on the block kernel."""
+    lv0 = hier.levels[0]
+    if lv0.Aw is not None:
+        from surface_multigrid_code_tpu.ops.well import B_ROWS
+
+        nv = lv0.A.n_rows
+        W0 = lv0.Aw[0] if isinstance(lv0.Aw, tuple) else lv0.Aw
+        npad = W0.nb * B_ROWS
+
+        def to_planes(x):
+            out = jnp.zeros((3, npad), dtype=x.dtype)
+            return jax.lax.dynamic_update_slice(out, x.T, (0, 0))
+
+        rp = to_planes(rhs)
+        zp = to_planes(z0)
+
+        def resid(z):
+            r = rp - _bsr_well_spmv(lv0, z)
+            return jnp.sqrt((r * r).sum())
+
+        def cond(state):
+            k, _, _, done = state
+            return jnp.logical_and(~done, k < max_iter)
+
+        def body(state):
+            k, z, r_his, _ = state
+            res = resid(z)
+            r_his = r_his.at[k].set(res)
+            done = res < tol
+            z_new = bsr_vcycle_planes(hier, rp, z, cfg)
+            z = jnp.where(done, z, z_new)
+            return (k + 1, z, r_his, done)
+
+        r_his0 = jnp.zeros((max_iter,), dtype=rhs.dtype)
+        k, zp, r_his, _ = jax.lax.while_loop(
+            cond, body, (0, zp, r_his0, jnp.asarray(False))
+        )
+        return zp[:, :nv].T, r_his, k
 
     def resid(z):
         r = rhs - bsr_spmv(hier.levels[0].A, z)
@@ -334,11 +446,26 @@ class BsrRefreshableSolver:
                 # chain)
                 self.chain = None
         if self.chain is not None:
+            # windowed V-cycle route: structural layouts of each level's
+            # VERTEX pattern for the 3x3-block kernel + scalar transfer
+            # layouts (all static; the refresh only repacks block values)
+            from surface_multigrid_code_tpu.ops.well import build_well_auto
+
             self._state = {
                 "chain": self.chain.state(),
                 "P_ell": tuple(ell_from_csr(P, dtype=dtype) for P in Ps),
                 "PT_ell": tuple(
                     ell_from_csr(P.T.tocsr(), dtype=dtype) for P in Ps
+                ),
+                "A_wells": tuple(
+                    build_well_auto(pat, dtype=dtype)
+                    for pat in self.chain.patterns
+                ),
+                "P_wells": tuple(
+                    build_well_auto(P, dtype=dtype) for P in Ps
+                ),
+                "PT_wells": tuple(
+                    build_well_auto(P.T.tocsr(), dtype=dtype) for P in Ps
                 ),
             }
             if self.nnz_perm is not None:
@@ -368,7 +495,16 @@ class BsrRefreshableSolver:
     def _refresh_well(self, state, B0_vals: jnp.ndarray,
                       lam_in=None) -> BsrHierarchy:
         """Value refresh via the windowed-kernel slot chain: zero dynamic
-        gathers on the value path (see solver/wellrefresh.py)."""
+        gathers on the value path (see solver/wellrefresh.py).  Also
+        repacks each level's 9 block-component planes into the block
+        kernel's dat layout (pure reshapes), so the V-cycle runs on
+        well_spmv_block3 instead of the gather-bound bsr_spmv."""
+        from surface_multigrid_code_tpu.ops.well import (
+            B_ROWS,
+            well_block3_apply,
+            well_repack,
+        )
+
         chain = self.chain
         cst = state["chain"]
         v = B0_vals.astype(self.dtype)
@@ -384,12 +520,70 @@ class BsrRefreshableSolver:
             A = BSRMatrix(
                 indices=cst["ell_indices"][lv], blocks=blocks, n_cols=n
             )
+            Aw = state["A_wells"][lv]
+            Wt = Aw if isinstance(Aw, tuple) else (Aw,)
+            dats_groups = []
+            k0 = 0
+            for Wg in Wt:
+                # y9 planes are [9, n*w] slot space; slice this group's
+                # slots per component and repack (reshape only)
+                dats_groups.append(tuple(
+                    well_repack(
+                        Wg,
+                        y9[3 * i + j]
+                        .reshape(n, w)[:, k0:k0 + Wg.w]
+                        .astype(self.dtype),
+                    ).dat
+                    for i in range(3)
+                    for j in range(3)
+                ))
+                k0 += Wg.w
+            dats_groups = tuple(dats_groups)
+            W0 = Wt[0]
+            npad = W0.nb * B_ROWS
+            dinv_p = jnp.zeros((3, npad), dtype=self.dtype)
+            dinv_p = jax.lax.dynamic_update_slice(
+                dinv_p, (1.0 / diag3).T.astype(self.dtype), (0, 0)
+            )
+            lam_max = None
+            if (
+                self.cfg.smoother == SmootherType.CHEBYSHEV and lv < L - 1
+            ):
+                if lam_in is not None and lam_in[lv] is not None:
+                    lam_max = lam_in[lv]
+                else:
+                    # power iteration on the BLOCK KERNEL (same 12-iter /
+                    # uniform-start / 1.1x estimator as _bsr_device_lam_max)
+                    x0 = jnp.zeros((3, npad), dtype=self.dtype)
+                    x0 = jax.lax.dynamic_update_slice(
+                        x0,
+                        jnp.full((3, n), 1.0, dtype=self.dtype)
+                        / jnp.sqrt(jnp.asarray(3.0 * n, dtype=self.dtype)),
+                        (0, 0),
+                    )
+
+                    def pw_body(i, xl, Wt=Wt, dg=dats_groups,
+                                dinv_p=dinv_p):
+                        x, lam = xl
+                        y = well_block3_apply(Wt, x, dg) * dinv_p
+                        lam = jnp.sqrt((y * y).sum())
+                        return (y / lam, lam)
+
+                    _, lam = jax.lax.fori_loop(
+                        0, 12, pw_body,
+                        (x0, jnp.asarray(1.0, self.dtype)),
+                    )
+                    lam_max = 1.1 * lam
             levels.append(
                 BsrLevel(
                     A=A, diag=diag3,
                     P=None if lv == 0 else state["P_ell"][lv - 1],
                     PT=None if lv == 0 else state["PT_ell"][lv - 1],
-                    lam_max=self._lam(A, diag3, lv, L, lam_in),
+                    lam_max=lam_max,
+                    Aw=Wt, dats=dats_groups,
+                    Pw=None if lv == 0 else state["P_wells"][lv - 1],
+                    PTw=None if lv == 0 else state["PT_wells"][lv - 1],
+                    dinv_p=dinv_p,
                 )
             )
         # dense coarsest (3nc x 3nc) + Cholesky inverse (SPD refreshes)

@@ -487,3 +487,59 @@ def test_well_planes_fused_epilogues(rng):
             assert np.abs(Yp[c] - y1).max() < 1e-5 * max(
                 1.0, np.abs(y1).max()
             ), epi
+
+
+def test_well_block3_matches_scipy(rng):
+    """3x3-block windowed SpMV (well_spmv_block3): shared select chain +
+    9-component contraction vs a scipy block product, across layouts."""
+    import scipy.sparse as sp
+    from surface_multigrid_code_tpu.ops.well import (
+        build_well,
+        build_well_dia,
+        build_well_tap,
+        well_block3_apply,
+        well_repack_tap,
+    )
+
+    n = 1200
+    A = _banded(rng, n=n, half_bw=20, per_row=5).tocsr()
+    A.sum_duplicates()
+    A.sort_indices()
+    counts = np.diff(A.indptr)
+    w = int(counts.max())
+    blocks = rng.standard_normal((A.nnz, 3, 3))
+    # scipy oracle: expand to 3n x 3n BSR
+    bsr = sp.bsr_matrix(
+        (blocks, A.indices, A.indptr), shape=(3 * n, 3 * n)
+    ).tocsr()
+    X = rng.standard_normal((n, 3))
+    ref = (bsr @ X.reshape(-1)).reshape(n, 3)
+
+    # canonical [n, w] ELL planes of the 9 block components
+    rows = np.repeat(np.arange(n), counts)
+    offs = np.arange(A.nnz) - np.repeat(A.indptr[:-1], counts)
+    xp = jnp.asarray(X.T.astype(np.float32))
+    for builder in (build_well, build_well_tap,
+                    lambda M, dtype: build_well_dia(M, dtype=dtype, q=(1, 1))):
+        Ws = builder(A, dtype=jnp.float32)
+        Wt = Ws if isinstance(Ws, tuple) else (Ws,)
+        dats_groups = []
+        k0 = 0
+        planes_all = []
+        for i in range(3):
+            for j in range(3):
+                ell = np.zeros((n, w), dtype=np.float64)
+                ell[rows, offs] = blocks[:, i, j]
+                planes_all.append(ell)
+        for W in Wt:
+            dats = tuple(
+                well_repack_tap(W, jnp.asarray(p[:, k0:k0 + W.w],
+                                               dtype=jnp.float32)).dat
+                for p in planes_all
+            )
+            dats_groups.append(dats)
+            k0 += W.w
+        Y = np.asarray(well_block3_apply(Wt, xp, tuple(dats_groups)))
+        Y = Y[:, :n].T
+        err = np.abs(Y - ref).max() / np.abs(ref).max()
+        assert err < 1e-5, (builder, err)
