@@ -835,6 +835,23 @@ def well_apply(
     )
 
 
+def _x64_kernel_guard(dtype):
+    """32-bit trace context for f32 kernels under global x64.
+
+    With jax_enable_x64 on (the ex04 iterative-refinement policy), jnp
+    index helpers inside the kernel trace (take_along_axis iotas etc.)
+    default to int64, which Mosaic lowers through a recursive 64-bit
+    emulation deep enough to overflow Python 3.12's (uncontrollable)
+    C-recursion cap — every kernel compile dies with RecursionError.
+    f32 kernels trace in 32-bit mode instead; f64 (CPU) kernels are
+    untouched (the guard would downcast their explicit f64 asks)."""
+    import contextlib
+
+    if jax.config.jax_enable_x64 and dtype != jnp.float64:
+        return jax.enable_x64(False)
+    return contextlib.nullcontext()
+
+
 @partial(jax.jit, static_argnames=("unpadded", "interpret", "epi", "escale"))
 def well_spmv(W: WellMatrix, x: jnp.ndarray, unpadded: bool = True,
               interpret: bool = False, epi: str | None = None,
@@ -844,6 +861,15 @@ def well_spmv(W: WellMatrix, x: jnp.ndarray, unpadded: bool = True,
     x: [n_cols] flat (or [nb_x*B_ROWS] zero-tail padded). acc: optional
     [nb*B_ROWS] flat or [nb*SUB, LANE] partial sum added to A@x. ops:
     epilogue operand row-tiles (see _apply_epi)."""
+    with _x64_kernel_guard(W.dat.dtype):
+        return _well_spmv_impl(
+            W, x, unpadded, interpret, epi, escale, acc, ops
+        )
+
+
+def _well_spmv_impl(W: WellMatrix, x: jnp.ndarray, unpadded: bool,
+                    interpret: bool, epi: str | None,
+                    escale: float, acc, ops: tuple):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -1199,6 +1225,12 @@ def well_spmv_block3(
     scalar kernel's 4 + 2).  Tap/dia(q=1)/legacy layouts supported (the
     vertex graphs build_well_auto produces); phase-split integer slopes
     are not (square operators never pick them)."""
+    with _x64_kernel_guard(dats[0].dtype):
+        return _well_spmv_block3_impl(W, xp, dats, unpadded, interpret, acc)
+
+
+def _well_spmv_block3_impl(W: WellMatrix, xp: jnp.ndarray, dats: tuple,
+                           unpadded: bool, interpret: bool, acc):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -1543,6 +1575,15 @@ def well_spmv_planes(
     [C, nb*B_ROWS] planes (or [C, nb*SUB, LANE] tiles) of partial sums.
     ops: epilogue operands, percol as [C, nb*SUB, LANE], shared as
     [nb*SUB, LANE] (see _EPI_KINDS / well_apply)."""
+    with _x64_kernel_guard(W.dat.dtype):
+        return _well_spmv_planes_impl(
+            W, xp, unpadded, interpret, epi, escale, acc, ops
+        )
+
+
+def _well_spmv_planes_impl(W: WellMatrix, xp: jnp.ndarray, unpadded: bool,
+                           interpret: bool, epi: str | None,
+                           escale: float, acc, ops: tuple):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
