@@ -844,10 +844,17 @@ def _x64_kernel_guard(dtype):
     emulation deep enough to overflow Python 3.12's (uncontrollable)
     C-recursion cap — every kernel compile dies with RecursionError.
     f32 kernels trace in 32-bit mode instead; f64 (CPU) kernels are
-    untouched (the guard would downcast their explicit f64 asks)."""
+    untouched (the guard would downcast their explicit f64 asks), and
+    CPU backends skip the guard entirely (interpret mode handles int64,
+    and flipping the x64 config inside traces forces retraces that
+    noticeably slow the CPU test suite)."""
     import contextlib
 
-    if jax.config.jax_enable_x64 and dtype != jnp.float64:
+    if (
+        jax.config.jax_enable_x64
+        and dtype != jnp.float64
+        and jax.default_backend() != "cpu"
+    ):
         return jax.enable_x64(False)
     return contextlib.nullcontext()
 
