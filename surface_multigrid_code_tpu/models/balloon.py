@@ -269,12 +269,17 @@ class DeviceBalloonStepper:
             fExt = fExt.astype(dtype)
             Md = st["Mdiag"]
 
-            # No lam hoist anymore: the Chebyshev bound is now a
-            # Gershgorin row-sum (one pass over the refreshed values,
-            # solver/refresh.py) instead of 12 power-iteration SpMVs, so
-            # per-refresh recomputation is cheap AND never underestimates
-            # the drifted in-step spectrum (a stale hoisted estimate can,
-            # which diverges the window — the pressure-1e6 failure mode).
+            # No lam hoist anymore: the Chebyshev bound is recomputed
+            # inside every refresh (12-iteration power iteration + 1.1x
+            # margin, solver/refresh._device_lam_max) so it tracks the
+            # drifted in-step spectrum — a stale hoisted estimate can
+            # underestimate it, which diverges the window (the
+            # pressure-1e6 failure mode).  Power iteration is heuristic;
+            # the certified Gershgorin bound (_bsr_gershgorin_lam) is
+            # available but costs ~2x the V-cycles (measured,
+            # probe_balloon_profile_r3.py) and the divergence it would
+            # prevent is removed at the source by the per-face PSD
+            # projection (models/shell.py).
             lam0 = None
 
             def total_energy(qdot):
@@ -542,15 +547,19 @@ class BsrBalloonStepper:
 
         self._block_vals = block_vals
 
-        # No lam hoist: the Chebyshev bound is a Gershgorin row-sum
-        # (solver/bsr._bsr_gershgorin_lam) recomputed inside each in-loop
-        # refresh — one pass over the blocks, never an underestimate of
-        # the drifted in-step spectrum (a stale hoisted estimate can be,
-        # which diverges the window — the pressure-1e6 failure mode), and
-        # exactly the stage-20 shape the round-2 TPU-worker-crash bisect
-        # proved safe (traced lam from a PRIOR dispatch feeding the
-        # in-loop windowed refresh faults the worker; in-iteration
-        # recomputation passes).
+        # No lam hoist: the Chebyshev bound is recomputed inside each
+        # in-loop refresh (power iteration + 1.1x margin, inline in
+        # solver/bsr._refresh_well) so it tracks the drifted in-step
+        # spectrum (a stale hoisted estimate can underestimate it, which
+        # diverges the window — the pressure-1e6 failure mode), and
+        # in-iteration recomputation is exactly the stage-20 shape the
+        # round-2 TPU-worker-crash bisect proved safe (traced lam from a
+        # PRIOR dispatch feeding the in-loop windowed refresh faults the
+        # worker).  The certified Gershgorin bound
+        # (solver/bsr._bsr_gershgorin_lam) stays available but costs ~2x
+        # the V-cycles (measured, probe_balloon_profile_r3.py); the
+        # divergence it would prevent is removed at the source by the
+        # per-face PSD projection (models/shell.py).
 
         def step(st, curPos0, qdot0, fExt):
             # NOTE: in well mode every [nv, *] input is already in the
@@ -625,6 +634,14 @@ class BsrBalloonStepper:
 
         self._state = state
         self._step = jax.jit(step)
+
+    @property
+    def refresh_backend(self) -> str:
+        """Value-refresh path of the underlying BSR solver: "chain"
+        (windowed slot-space kernel chain) or "plan-gather" (XLA gathers
+        — CPU runs or a ChainTooWide fallback; see
+        solver.refresh_fallback_reason)."""
+        return self.solver.refresh_backend
 
     def step(self, curPos, qdot, fExt):
         """One implicit Euler step; returns (curPos_next, qdot_next).

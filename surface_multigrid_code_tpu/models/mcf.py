@@ -114,6 +114,14 @@ class MCFStepper:
         self._step_fn = jax.jit(step)
         self._step = lambda U: self._step_fn(self._mcf_state, U)
 
+    @property
+    def refresh_backend(self) -> str:
+        """Value-refresh path of the underlying solver: "chain" (windowed
+        slot-space kernel chain) or "plan-gather" (XLA gathers — CPU runs
+        or a ChainTooWide fallback; see
+        solver.refresh_fallback_reason)."""
+        return self.solver.refresh_backend
+
     def step(self, U: np.ndarray):
         """One flow step; returns (U_next, r_his list, converged)."""
         Unew, r_his, k = self._step(jnp.asarray(U))

@@ -92,6 +92,12 @@ class ShardedMCFStepper:
                 WellHaloHierarchy,
             )
 
+            if not reorder:
+                raise ValueError(
+                    "backend='well' always applies the induced-RCM "
+                    "ordering (the windowed kernel requires banded "
+                    "operators); pass backend='halo' for reorder=False"
+                )
             self.halo = WellHaloHierarchy(
                 As, Ps, mesh, cfg=cfg, dtype=dtype
             ).enable_refresh()

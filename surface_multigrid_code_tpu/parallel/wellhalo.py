@@ -618,7 +618,9 @@ class WellHaloHierarchy:
     def _refresh_in_shard(self, rargs, lvl_args, vals_l):
         """Inside shard_map: run the slot-space value chain, repack every
         level's windowed dat (pure reshape), extract diagonals, refresh
-        the Chebyshev Gershgorin bound, and rebuild the coarse inverse."""
+        the Chebyshev bound (sharded power iteration + 1.1x margin, the
+        same heuristic estimator as solver/refresh._device_lam_max), and
+        rebuild the coarse inverse."""
         from surface_multigrid_code_tpu.ops.well import well_repack_tap
 
         D = self.D

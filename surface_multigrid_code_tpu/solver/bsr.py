@@ -21,6 +21,7 @@ This module provides the BSR analog of solver/vcycle.py + refresh.py:
 
 from __future__ import annotations
 
+import warnings
 from dataclasses import dataclass
 
 import numpy as np
@@ -431,6 +432,7 @@ class BsrRefreshableSolver:
         self.pattern_v = Av
         self.coarsest_shift = float(coarsest_shift)
         self.chain = None
+        self.refresh_fallback_reason = None
         if self.well:
             from surface_multigrid_code_tpu.solver.wellrefresh import (
                 ChainTooWide,
@@ -438,18 +440,30 @@ class BsrRefreshableSolver:
 
             try:
                 self.chain = WellRefreshChain(Av, Ps, dtype=dtype)
-            except ChainTooWide:
+            except ChainTooWide as e:
                 # boundary-heavy hierarchies can need 100s of chain
                 # kernel groups (minutes of Mosaic compile each) — fall
                 # back to the XLA plan-gather refresh; the ordering/
                 # permutation machinery stays (harmless without the
-                # chain)
+                # chain).  Loud per SURVEY §5.3: the fallback refresh
+                # is the dominant per-step cost on such meshes.
                 self.chain = None
+                self.refresh_fallback_reason = str(e)
+                warnings.warn(
+                    "windowed refresh chain unavailable for this "
+                    f"hierarchy ({e}); falling back to the XLA "
+                    "plan-gather value refresh (slower per refresh)",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
         if self.chain is not None:
             # windowed V-cycle route: structural layouts of each level's
             # VERTEX pattern for the 3x3-block kernel + scalar transfer
             # layouts (all static; the refresh only repacks block values)
-            from surface_multigrid_code_tpu.ops.well import build_well_auto
+            from surface_multigrid_code_tpu.ops.well import (
+                _UNROLL_CAP,
+                build_well_auto,
+            )
 
             self._state = {
                 "chain": self.chain.state(),
@@ -457,8 +471,14 @@ class BsrRefreshableSolver:
                 "PT_ell": tuple(
                     ell_from_csr(P.T.tocsr(), dtype=dtype) for P in Ps
                 ),
+                # the block3 kernel body is ~3x the scalar select chain
+                # plus 9 dat FMAs per tap, and well_spmv_block3 has no
+                # per-column fallback — build the vertex-pattern layouts
+                # under a third of the scalar unroll budget so a wide
+                # hub-row operator splits into more groups instead of
+                # overflowing Mosaic's scoped-VMEM compile budget
                 "A_wells": tuple(
-                    build_well_auto(pat, dtype=dtype)
+                    build_well_auto(pat, dtype=dtype, cap=_UNROLL_CAP // 3)
                     for pat in self.chain.patterns
                 ),
                 "P_wells": tuple(
@@ -483,6 +503,14 @@ class BsrRefreshableSolver:
                 self._state["nnz_perm"] = jnp.asarray(self.nnz_perm)
         self._refresh = jax.jit(self._refresh_impl)
         self._solve = jax.jit(self._solve_impl, static_argnames=("max_iter",))
+
+    @property
+    def refresh_backend(self) -> str:
+        """Which value-refresh path this hierarchy actually got (SURVEY
+        §5.3 soft-failure reporting): "chain" = windowed slot-space
+        kernel chain, "plan-gather" = XLA gather plan (CPU runs or a
+        ChainTooWide fallback — see refresh_fallback_reason)."""
+        return "chain" if self.chain is not None else "plan-gather"
 
     # ------------------------------------------------------------------
     def _lam(self, A, diag3, lv, n_levels, lam_in):

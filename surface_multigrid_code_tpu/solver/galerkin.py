@@ -229,7 +229,9 @@ def build_galerkin_plan(A0_pattern: sp.csr_matrix, Ps: list[sp.spmatrix]) -> Gal
     A = A0_pattern.tocsr().copy()
     A.sum_duplicates()
     gather, shape, indices, diag_idx = _ell_layout(A)
-    empty_i = jnp.zeros(0, dtype=jnp.int64)
+    # dtype=int canonicalizes to int32/int64 per the x64 flag without the
+    # "truncated to int32" warning an explicit int64 request emits
+    empty_i = jnp.zeros(0, dtype=int)
     lvl0 = LevelPlan(
         gat_idx=jnp.zeros((0, 1), dtype=jnp.int32),
         gat_w=jnp.zeros((0, 1)),

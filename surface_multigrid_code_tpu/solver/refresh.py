@@ -20,6 +20,8 @@ inverse in build_device_hierarchy.
 
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
 import scipy.sparse as sp
 
@@ -152,6 +154,7 @@ class RefreshableMGSolver:
         self.A0_pattern = A0
         self.plan: GalerkinPlan = build_galerkin_plan(A0, Ps)
         self._chain = None
+        self.refresh_fallback_reason = None
         if self.well and self.known.size:
             # constrained: route the permutation through the existing
             # full->Auu gather
@@ -200,11 +203,30 @@ class RefreshableMGSolver:
                 try:
                     self._chain = WellRefreshChain(A0, Ps, dtype=dtype)
                     self._val_map = jnp.asarray(val_map)
-                except ChainTooWide:
+                except ChainTooWide as e:
                     # boundary-heavy hierarchies can need 100s of kernel
                     # groups (minutes of Mosaic compile EACH); the plan
-                    # gathers stay the refresh path there
+                    # gathers stay the refresh path there.  Loud: the
+                    # fallback refresh is ~12x slower per application
+                    # step (MCF_STEP_r3.json), so the downgrade is
+                    # surfaced per SURVEY §5.3 soft-failure discipline.
                     self._chain = None
+                    self.refresh_fallback_reason = str(e)
+                    warnings.warn(
+                        "windowed refresh chain unavailable for this "
+                        f"hierarchy ({e}); falling back to the XLA "
+                        "plan-gather value refresh (slower per refresh)",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
+        # which value-refresh path this hierarchy actually got (SURVEY
+        # §5.3 soft-failure reporting): "chain" = windowed slot-space
+        # kernel chain, "plan-gather" = XLA gather plan (CPU runs, the
+        # constrained path, or a ChainTooWide fallback — see
+        # refresh_fallback_reason)
+        self.refresh_backend = (
+            "chain" if self._chain is not None else "plan-gather"
+        )
         self.P_ell = [ell_from_csr(P, dtype=dtype) for P in Ps]
         self.PT_ell = [ell_from_csr(P.T.tocsr(), dtype=dtype) for P in Ps]
         if self.well:

@@ -107,11 +107,13 @@ def build_device_hierarchy(
     As: list[sp.spmatrix],
     Ps: list[sp.spmatrix],
     cfg: SolveConfig = SolveConfig(),
-    dtype=jnp.float64,
+    dtype=None,
     colorings: list[np.ndarray] | None = None,
     well: bool = False,
 ) -> DeviceHierarchy:
-    """Host -> device hierarchy build.
+    """Host -> device hierarchy build.  dtype defaults x64-aware (f64
+    under jax_enable_x64, else f32 — an explicit f64 request under a
+    non-x64 runtime would silently truncate with warning spam).
 
     As: per-level Galerkin matrices (len L), coarsest already diag-shifted.
     Ps: prolongations, Ps[l] maps level l+1 -> level l (len L-1).
@@ -122,6 +124,8 @@ def build_device_hierarchy(
     bandwidth-minimizing ordering (solver/ordering.py) to As/Ps first —
     windows (and kernel cost) are whatever the ordering achieves.
     """
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     L = len(As)
     levels = []
     for lv in range(L):
@@ -329,9 +333,14 @@ def _vcycle_tiled(
         if lv == L - 1:
             nL = level.diag.shape[0]
             if planes:
-                # one dense matmul per coarse solve (coarse_inv is
-                # symmetric; columns ride the MXU together)
-                return Ut.at[:, :nL].add(Bt[:, :nL] @ hier.coarse_inv.T)
+                # one dense matmul per coarse solve (columns ride the MXU
+                # together); the untransposed inverse is applied so a
+                # nonsymmetric coarse_inv would still match the
+                # single-column path (XLA folds the transposes into the
+                # matmul's dimension numbers — no extra cost)
+                return Ut.at[:, :nL].add(
+                    (hier.coarse_inv @ Bt[:, :nL].T).T
+                )
             return Ut.at[:nL].add(hier.coarse_inv @ Bt[:nL])
         npad = Bt.shape[-1]
         dinv_t = _pad_flat(1.0 / level.diag, npad)

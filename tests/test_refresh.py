@@ -105,3 +105,46 @@ def test_refresh_chain_matches_plan_gathers():
             np.asarray(h1.coarse_inv), np.asarray(h0.coarse_inv),
             rtol=1e-8,
         )
+
+
+def test_refresh_backend_reported(setup, monkeypatch):
+    """SURVEY §5.3 soft-failure reporting: the solver exposes which
+    value-refresh path the hierarchy actually got, and a ChainTooWide
+    downgrade is loud (RuntimeWarning) with the reason recorded."""
+    import warnings
+
+    import surface_multigrid_code_tpu.solver.wellrefresh as wr
+
+    V, F, mg, L, M, rhs = setup
+    A = (M - 0.01 * L).tocsr()
+    A.sum_duplicates()
+    cfg = SolveConfig(smoother=SmootherType.JACOBI)
+
+    s_chain = RefreshableMGSolver(mg, A, cfg=cfg, dtype=jnp.float64,
+                                  well=True, chain=True)
+    assert s_chain.refresh_backend == "chain"
+    assert s_chain.refresh_fallback_reason is None
+
+    s_plan = RefreshableMGSolver(mg, A, cfg=cfg, dtype=jnp.float64,
+                                 well=True, chain=False)
+    assert s_plan.refresh_backend == "plan-gather"
+
+    # force the wide-hierarchy path: a 1-group budget always overflows
+    orig = wr.WellRefreshChain
+
+    def tiny_budget(*args, **kw):
+        kw["max_groups"] = 1
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(wr, "WellRefreshChain", tiny_budget)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        s_fb = RefreshableMGSolver(mg, A, cfg=cfg, dtype=jnp.float64,
+                                   well=True, chain=True)
+    assert s_fb.refresh_backend == "plan-gather"
+    assert "kernel groups" in (s_fb.refresh_fallback_reason or "")
+    assert any(
+        issubclass(w.category, RuntimeWarning)
+        and "plan-gather" in str(w.message)
+        for w in rec
+    )
