@@ -444,10 +444,11 @@ def well_tap_group_count(A: sp.spmatrix, cap: int = _UNROLL_CAP) -> int:
     """How many kernel groups a tap-recentered layout of A needs under
     the given unroll cap — WITHOUT packing/uploading anything (cheap
     host pass).  Each group compiles as its own Mosaic kernel (~10-60 s
-    of TPU-side compile), so callers building CHAINS of operators (e.g.
-    solver/wellrefresh.py) use this to refuse pathologically wide ones:
-    a boundary-heavy hierarchy's Galerkin maps measured 223 groups on
-    ogre (a 40+ min compile) vs 17 on bunny."""
+    of TPU-side compile), so callers building CHAINS of operators use
+    this to budget pathologically wide ones.  (solver/wellrefresh.py now
+    plans with its own cost model — two-stage factorization + wide-row
+    extraction — and no longer calls this; kept as the public cheap
+    estimator.)"""
     idx, struct, val, n, m, w, nb = _stage_ell(A)
     sub = (idx // LANE).reshape(nb, B_ROWS, w)
     st = struct.reshape(nb, B_ROWS, w)

@@ -148,3 +148,51 @@ def test_refresh_backend_reported(setup, monkeypatch):
         and "plan-gather" in str(w.message)
         for w in rec
     )
+
+
+def test_chain_modes_and_extraction_match():
+    """The two-stage factored chain (default) and the wide-row-extracted
+    chain must produce the same per-level slot values as the legacy
+    one-stage chain — same linear maps, reassociated sums."""
+    import jax.numpy as jnp
+
+    from surface_multigrid_code_tpu.ops.laplacian import cotmatrix, massmatrix
+    from surface_multigrid_code_tpu.solver.hierarchy import mg_precompute
+    from surface_multigrid_code_tpu.solver.ordering import (
+        finest_rcm,
+        induced_orderings,
+        permute_hierarchy,
+    )
+    from surface_multigrid_code_tpu.solver.wellrefresh import WellRefreshChain
+    from surface_multigrid_code_tpu.utils.synthetic import icosphere
+
+    V, F = icosphere(2)
+    mg = mg_precompute(V, F, min_coarsest_nv=40, verbose=False)
+    A = (massmatrix(V, F) - 0.01 * cotmatrix(V, F)).tocsr()
+    A.sum_duplicates()
+    Ps = [mg[lv].P_full.tocsr() for lv in range(1, len(mg))]
+    perms = induced_orderings(finest_rcm(A), Ps)
+    (A,), Ps = permute_hierarchy([A], Ps, perms)
+
+    chains = {
+        "one": WellRefreshChain(A, Ps, dtype=jnp.float64, mode="one"),
+        "two": WellRefreshChain(A, Ps, dtype=jnp.float64, mode="two"),
+        # force extraction on this small mesh: a 2-sublane threshold
+        # sends a real fraction of rows to the serial side path
+        "two_x": WellRefreshChain(A, Ps, dtype=jnp.float64, mode="two",
+                                  extract_T=2),
+    }
+    assert any(
+        wide is not None
+        for level in chains["two_x"].ops for (wells, wide) in level
+    ), "extract_T=2 should have extracted at least one wide row"
+    vals = jnp.asarray(A.data)
+    outs = {
+        k: c.apply_planes(c.state(), vals[None, :]) for k, c in chains.items()
+    }
+    for k in ("two", "two_x"):
+        for lv, (ref, got) in enumerate(zip(outs["one"], outs[k])):
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), rtol=0, atol=1e-12,
+                err_msg=f"{k} lv{lv}",
+            )
