@@ -38,7 +38,7 @@ import jax.numpy as jnp
 MATERIALS = ("neohookean", "stvk", "tension_field")
 
 
-def psd_project_blocks(H: jnp.ndarray, iters: int = 16) -> jnp.ndarray:
+def psd_project_blocks(H: jnp.ndarray, schedule=None) -> jnp.ndarray:
     """Per-face PSD projection of symmetric Hessian blocks [m, d, d]:
     clamp negative eigenvalues to (near) zero.
 
@@ -55,57 +55,71 @@ def psd_project_blocks(H: jnp.ndarray, iters: int = 16) -> jnp.ndarray:
     How: NOT batched eigh — jnp.linalg.eigh on [32K, 9, 9] costs ~450 ms
     per call on this TPU (probe_balloon_profile_r3.py), which at 10+
     Newton iterations dominated the whole implicit-Euler step.  Instead
-    the matrix sign function is computed with a Newton-Schulz iteration
-    (X <- 1.5 X - 0.5 X^3, batched 9x9 matmuls — MXU work, ~ms), and
+    the matrix sign function is computed with a Newton-Schulz-type cubic
+    iteration (x <- a x - b x^3, batched matmuls — MXU work), and
         PSD(H) = (H + H sign(H)) / 2 = U max(L, 0) U^T.
-    Eigenvalues tiny relative to ||H|| converge slowly through NS, but
-    their clamping error is proportionally tiny (|residue| <= |lam|), so
-    big negatives — the ones that break the solver — are removed exactly
-    while near-null directions keep a harmless residue (at 16 iterations
-    the sign saturates for |lam|/||H|| >= ~4e-3; smaller negatives are
-    dominated by dt^2 scaling + the positive lumped mass).  The packed
-    iteration is HBM-bound (~6 passes over the 14x-inflated block-diag
-    per iteration), so fewer iterations cut the cost linearly.
+    Eigenvalues tiny relative to ||H|| converge slowly through the sign
+    iteration, but their clamping error is proportionally tiny
+    (|residue| <= |lam|), so big negatives — the ones that break the
+    solver — are removed exactly while near-null directions keep a
+    harmless residue (the accelerated schedule saturates the sign for
+    |lam|/||H|| >= ~1.2e-3; smaller negatives are dominated by dt^2
+    scaling + the positive lumped mass).
+
+    Blocks are packed `pack`-at-a-time into block-diagonal 126x126 tiles
+    (batched 9x9 matmuls run at <1% MXU utilization; block-diagonality
+    is exact under products so the extraction is exact), and the whole
+    schedule runs VMEM-resident in one Pallas kernel (ops/psd.py): one
+    HBM read + write of the packed operand instead of ~6 passes per
+    iteration (round-3 einsum path: 38 ms/projection at 32K faces,
+    HBM-bound).  The accelerated coefficient schedule (7 greedy growth
+    cubics + 5 NS cleanup, designed in
+    benchmarks/probes/design_ns_schedule.py) replaces the old 16x plain
+    NS: 25 matmuls instead of 33 with a ~4x BETTER saturation threshold
+    (|sign - 1| <= 1e-4 for |lam|/s >= 7.9e-4 vs the old 4.9e-3).
     Blocks whose clamp correction is below 1e-4 ||H|| pass through
     BITWISE unchanged, so trajectories at moderate loads are identical.
     """
+    from ..ops.psd import (
+        NS_SCHEDULE,
+        ns_sign_apply_packed,
+        ns_sign_apply_packed_xla,
+    )
+    from ..ops.well import _x64_kernel_guard
+
+    if schedule is None:
+        schedule = NS_SCHEDULE
     Hs = 0.5 * (H + jnp.swapaxes(H, -1, -2))
     m, d = H.shape[0], H.shape[-1]
-    # per-block inf-norm >= spectral radius; scale into NS's domain
+    # per-block inf-norm >= spectral radius; scale into the schedule's
+    # validity domain |x| <= 1.4
     s = jnp.abs(Hs).sum(axis=-1).max(axis=-1)
     s = jnp.maximum(s, 1e-30)
     X = Hs / s[:, None, None]
 
-    # Pack `pack` blocks into one block-diagonal ~126x126 tile: a batched
-    # 9x9 matmul runs at <1% MXU utilization (measured 59 ms per
-    # projection at 32K faces), while the 196x-flops block-diagonal form
-    # rides full 128-wide tiles ~7x faster.  Block-diagonality is exact
-    # under products (off-diagonal zeros stay zero), so the extraction
-    # is exact.
     pack = max(1, 126 // d)
     g = -(-m // pack)
-    Xp = jnp.zeros((g * pack, d, d), dtype=H.dtype)
-    Xp = jax.lax.dynamic_update_slice(Xp, X, (0, 0, 0))
-    X4 = Xp.reshape(g, pack, d, d)
-    Z = jnp.zeros((g, pack * d, pack * d), dtype=H.dtype)
+    Xpad = jnp.zeros((g * pack, d, d), dtype=H.dtype)
+    Xpad = jax.lax.dynamic_update_slice(Xpad, X, (0, 0, 0))
+    X4 = Xpad.reshape(g, pack, d, d)
+    Z = jnp.zeros((g, 128, 128), dtype=H.dtype)
     for j in range(pack):
-        Z = jax.lax.dynamic_update_slice(
-            Z, X4[:, j], (0, j * d, j * d)
-        )
+        Z = jax.lax.dynamic_update_slice(Z, X4[:, j], (0, j * d, j * d))
 
-    def body(i, Z):
-        Z2 = jnp.einsum("fij,fjk->fik", Z, Z)
-        return 1.5 * Z - 0.5 * jnp.einsum("fij,fjk->fik", Z2, Z)
-
-    S = jax.lax.fori_loop(0, iters, body, Z)
-    Sb = jnp.stack(
+    if Z.dtype == jnp.float64:
+        Y = ns_sign_apply_packed_xla(Z, schedule)
+    else:
+        with _x64_kernel_guard(Z.dtype):
+            Y = ns_sign_apply_packed(Z, schedule)
+    # Y = X + X @ sign(X) packed; per-block Hp = s/2 * that block
+    Yb = jnp.stack(
         [
-            jax.lax.dynamic_slice(S, (0, j * d, j * d), (g, d, d))
+            jax.lax.dynamic_slice(Y, (0, j * d, j * d), (g, d, d))
             for j in range(pack)
         ],
         axis=1,
-    ).reshape(g * pack, d, d)[:m]
-    Hp = 0.5 * (Hs + jnp.einsum("fij,fjk->fik", Hs, Sb))
+    ).reshape(g * pack, d, d)[:m].astype(H.dtype)
+    Hp = 0.5 * s[:, None, None] * Yb
     Hp = 0.5 * (Hp + jnp.swapaxes(Hp, -1, -2))
     clamped = jnp.abs(Hp - Hs).max(axis=(-1, -2)) > 1e-4 * s
     return jnp.where(clamped[:, None, None], Hp, H)

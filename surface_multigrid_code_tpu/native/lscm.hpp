@@ -31,6 +31,15 @@ namespace ssp {
 
 using i64 = int64_t;
 
+// Zero an existing Mat to r x c, reusing its heap storage (the flatten
+// path runs ~1 solve per attempted collapse; per-call Mat construction
+// was ~40% of joint_lscm time in the round-4 phase profile).
+inline void mat_reset(Mat& M, i64 r, i64 c) {
+  M.r = r;
+  M.c = c;
+  M.a.assign((size_t)(r * c), 0.0);
+}
+
 // ---------------------------------------------------------------------------
 // small geometry kernels
 // ---------------------------------------------------------------------------
@@ -67,9 +76,9 @@ inline void cot_entries(const std::vector<double>& V, const std::vector<i64>& F,
 // reference src/cotmatrix_dense.cpp:26-41).
 inline void cotmatrix_dense(const std::vector<double>& V,
                             const std::vector<i64>& F, i64 nf, i64 n, Mat& L) {
-  std::vector<double> C;
+  static thread_local std::vector<double> C;
   cot_entries(V, F, nf, C);
-  L = Mat(n, n);
+  mat_reset(L, n, n);
   for (i64 f = 0; f < nf; ++f) {
     for (int k = 0; k < 3; ++k) {
       const i64 s = F[3 * f + (k + 1) % 3];
@@ -88,24 +97,33 @@ inline void cotmatrix_dense(const std::vector<double>& V,
 // by reference src/vector_area_matrix_size.cpp:13).
 inline void boundary_edges(const std::vector<i64>& F, i64 nf,
                            std::vector<std::pair<i64, i64>>& bd) {
+  // Patch-sized inputs (tens of faces): a sorted key array beats the
+  // former unordered_map (hash inserts dominated, 6.9% of ico7 build in
+  // the round-4 phase profile).  Output order (face-major, corner-major)
+  // is unchanged.
   bd.clear();
-  std::unordered_map<i64, int> cnt;  // key a*K+b for sorted pair
-  cnt.reserve(nf * 6);
+  static thread_local std::vector<i64> keys, sorted;
+  keys.clear();
   auto key = [](i64 a, i64 b) { return std::min(a, b) * 1000003 + std::max(a, b); };
   for (i64 f = 0; f < nf; ++f)
     for (int c = 0; c < 3; ++c)
-      cnt[key(F[3 * f + (c + 1) % 3], F[3 * f + (c + 2) % 3])] += 1;
+      keys.push_back(key(F[3 * f + (c + 1) % 3], F[3 * f + (c + 2) % 3]));
+  sorted = keys;
+  std::sort(sorted.begin(), sorted.end());
+  size_t idx = 0;
   for (i64 f = 0; f < nf; ++f)
     for (int c = 0; c < 3; ++c) {
       const i64 a = F[3 * f + (c + 1) % 3], b = F[3 * f + (c + 2) % 3];
-      if (cnt[key(a, b)] == 1) bd.emplace_back(a, b);
+      const i64 k = keys[idx++];
+      auto lo = std::lower_bound(sorted.begin(), sorted.end(), k);
+      if (lo + 1 == sorted.end() || *(lo + 1) != k) bd.emplace_back(a, b);
     }
 }
 
 // Dense vector-area matrix on 2n stacked coordinates
 // (reference src/vector_area_matrix_size.cpp:33-45).
 inline void vector_area_matrix(const std::vector<i64>& F, i64 nf, i64 n, Mat& A) {
-  A = Mat(2 * n, 2 * n);
+  mat_reset(A, 2 * n, 2 * n);
   std::vector<std::pair<i64, i64>> bd;
   boundary_edges(F, nf, bd);
   for (const auto& e : bd) {
@@ -181,19 +199,23 @@ inline double quasi_conformal_error_norm(const std::vector<double>& V,
 inline bool solve_pinned(const Mat& Q, const std::vector<i64>& known,
                          const std::vector<double>& bc, std::vector<double>& x) {
   const i64 n = Q.r;
-  std::vector<char> is_known(n, 0);
+  static thread_local std::vector<char> is_known;
+  static thread_local std::vector<i64> unk;
+  static thread_local Mat Auu;
+  static thread_local std::vector<double> rhs;
+  is_known.assign(n, 0);
   x.assign(n, 0.0);
   for (size_t k = 0; k < known.size(); ++k) {
     is_known[known[k]] = 1;
     x[known[k]] = bc[k];
   }
-  std::vector<i64> unk;
+  unk.clear();
   unk.reserve(n);
   for (i64 i = 0; i < n; ++i)
     if (!is_known[i]) unk.push_back(i);
   const i64 nu = (i64)unk.size();
-  Mat Auu(nu, nu);
-  std::vector<double> rhs(nu, 0.0);
+  mat_reset(Auu, nu, nu);
+  rhs.assign(nu, 0.0);
   for (i64 i = 0; i < nu; ++i) {
     const i64 gi = unk[i];
     for (i64 j = 0; j < nu; ++j) Auu(i, j) = Q(gi, unk[j]);
@@ -218,23 +240,38 @@ inline bool flatten_joint(const std::vector<double>& Vjoint_pre,
                           const std::vector<i64>& b_UV,
                           const std::vector<double>& bc_UV, i64 nVjoint,
                           std::vector<double>& UVjoint /* nVjoint x 2 */) {
-  Mat L_pre, L_post, A_pre, A_post;
+  // Q = block-diag(-(L_pre+L_post)) + 2*(A_pre+A_post).  The vector-area
+  // matrices touch ONLY cross-block entries (every write in
+  // vector_area_matrix pairs one index < n with one >= n) and the
+  // Laplacian replication ONLY same-block entries, so the two parts
+  // assemble independently — bit-identical to the former dense
+  // 2.0*(A_pre+A_post) - (L_pre+L_post) per-entry loop (A area weights
+  // are dyadic +-0.25 sums, so folding the 2x into +-0.5 accumulation is
+  // exact), without materializing the (2n)^2 area matrices.
+  static thread_local Mat L_pre, L_post, Q;
+  static thread_local std::vector<std::pair<i64, i64>> bd;
   cotmatrix_dense(Vjoint_pre, Fjoint_pre, nf_pre, nVjoint, L_pre);
   cotmatrix_dense(Vjoint_post, Fjoint_post, nf_post, nVjoint, L_post);
-  vector_area_matrix(Fjoint_pre, nf_pre, nVjoint, A_pre);
-  vector_area_matrix(Fjoint_post, nf_post, nVjoint, A_post);
   const i64 n2 = 2 * nVjoint;
-  Mat Q(n2, n2);
-  for (i64 i = 0; i < n2; ++i) {
-    const i64 bi = i % nVjoint;  // block-diagonal Laplacian replication
-    for (i64 j = 0; j < n2; ++j) {
-      double q = 2.0 * (A_pre(i, j) + A_post(i, j));
-      if ((i < nVjoint) == (j < nVjoint))
-        q -= L_pre(bi, j % nVjoint) + L_post(bi, j % nVjoint);
-      Q(i, j) = q;
+  mat_reset(Q, n2, n2);
+  for (i64 i = 0; i < nVjoint; ++i)
+    for (i64 j = 0; j < nVjoint; ++j) {
+      const double l = 0.0 - (L_pre(i, j) + L_post(i, j));
+      Q(i, j) = l;
+      Q(nVjoint + i, nVjoint + j) = l;
+    }
+  for (int which = 0; which < 2; ++which) {
+    boundary_edges(which == 0 ? Fjoint_pre : Fjoint_post,
+                   which == 0 ? nf_pre : nf_post, bd);
+    for (const auto& e : bd) {
+      const i64 i = e.first, j = e.second;
+      Q(i + nVjoint, j) -= 0.5;
+      Q(j, i + nVjoint) -= 0.5;
+      Q(i, j + nVjoint) += 0.5;
+      Q(j + nVjoint, i) += 0.5;
     }
   }
-  std::vector<double> flat;
+  static thread_local std::vector<double> flat;
   if (!solve_pinned(Q, b_UV, bc_UV, flat)) return false;
   // block0 -> UV col 1, block1 -> UV col 0 (reference :636-640)
   UVjoint.assign(2 * nVjoint, 0.0);
@@ -322,10 +359,14 @@ inline bool lscm_attempt(const PatchLSCM& P, bool extra_vertex, i64 subst_slot,
   const i64 nV = P.nV;
   const i64 nVjoint = extra_vertex ? nV + 1 : nV;
   const i64 vi_post = extra_vertex ? nV : subst_slot;
-  // joint vertex positions
-  std::vector<double> Vj_pre(3 * nVjoint), Vj_post(3 * nVjoint);
+  // joint vertex positions (thread-local scratch: one attempt per
+  // collapse try; reused across the ~nF collapses of a build)
+  static thread_local std::vector<double> Vj_pre, Vj_post;
+  static thread_local std::vector<i64> Fj_post, b_UV;
+  static thread_local std::vector<double> bc_UV;
+  Vj_pre.assign(3 * nVjoint, 0.0);
   std::copy(P.V_pre->begin(), P.V_pre->end(), Vj_pre.begin());
-  std::copy(P.V_pre->begin(), P.V_pre->end(), Vj_post.begin());
+  Vj_post.assign(Vj_pre.begin(), Vj_pre.end());
   const double* p = &(*P.V_post)[3 * P.vi];
   if (extra_vertex) {
     for (int k = 0; k < 3; ++k) Vj_pre[3 * nV + k] = p[k];
@@ -334,13 +375,13 @@ inline bool lscm_attempt(const PatchLSCM& P, bool extra_vertex, i64 subst_slot,
     for (int k = 0; k < 3; ++k) Vj_post[3 * subst_slot + k] = p[k];
   }
   // joint post faces: vi -> vi_post
-  std::vector<i64> Fj_post(*P.F_post);
+  Fj_post.assign(P.F_post->begin(), P.F_post->end());
   for (size_t k = 0; k < Fj_post.size(); ++k)
     if (Fj_post[k] == P.vi) Fj_post[k] = vi_post;
   // pins: block0 (UV col 1): vi=0, vj=1; block1 (UV col 0): vi=0, vj=0,
   // plus vi_post and extra collinearity pins at 0.
-  std::vector<i64> b_UV = {P.vi, P.vj, P.vi + nVjoint, P.vj + nVjoint};
-  std::vector<double> bc_UV = {0.0, 1.0, 0.0, 0.0};
+  b_UV.assign({P.vi, P.vj, P.vi + nVjoint, P.vj + nVjoint});
+  bc_UV.assign({0.0, 1.0, 0.0, 0.0});
   if (pin_vi_post) {
     // only the no-snap case-2 layout pins the extra post vertex to the
     // u = 0 line (reference :1101); case 0 leaves it free (reference :619)
@@ -355,7 +396,7 @@ inline bool lscm_attempt(const PatchLSCM& P, bool extra_vertex, i64 subst_slot,
       bc_UV.push_back(0.0);
     }
   }
-  std::vector<double> UVjoint;
+  static thread_local std::vector<double> UVjoint;
   if (!flatten_joint(Vj_pre, *P.F_pre, P.nf_pre, Vj_post, Fj_post, P.nf_post,
                      b_UV, bc_UV, nVjoint, UVjoint))
     return false;

@@ -21,9 +21,11 @@
 // Build:  g++ -O3 -march=native -std=c++17 -fPIC -shared -fopenmp ssp.cpp -o libssp.so (portable fallback without -march=native; see ssp/_native.py)
 
 #include <algorithm>
+#include <chrono>
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <functional>
 #include <limits>
@@ -39,6 +41,43 @@
 namespace ssp {
 
 static constexpr double kInf = std::numeric_limits<double>::infinity();
+
+// ---------------------------------------------------------------------------
+// phase profiler (SSP_PROFILE=1 env; ~0 cost when off).  Chained phases:
+// stop(k) restarts the clock so consecutive phases need no start() calls.
+// ---------------------------------------------------------------------------
+struct PhaseProf {
+  static constexpr int kN = 12;
+  bool on = false;
+  double t[kN] = {0};
+  long long n[kN] = {0};
+  std::chrono::steady_clock::time_point t0;
+  void start() {
+    if (on) t0 = std::chrono::steady_clock::now();
+  }
+  void stop(int k) {
+    if (!on) return;
+    auto t1 = std::chrono::steady_clock::now();
+    t[k] += std::chrono::duration<double>(t1 - t0).count();
+    n[k] += 1;
+    t0 = t1;
+  }
+  void report() const {
+    if (!on) return;
+    const char* names[kN] = {
+        "initial_costs", "heap_pop",      "circulate_link", "patch_assemble",
+        "joint_lscm",    "record",        "surgery",        "quadric_merge",
+        "cost_refresh",  "compaction",    "flaps_manifold", "-"};
+    double tot = 0;
+    for (int k = 0; k < kN; ++k) tot += t[k];
+    std::printf("[ssp-profile] total accounted %.3f s\n", tot);
+    for (int k = 0; k < kN; ++k)
+      if (n[k])
+        std::printf("[ssp-profile] %-15s %8.3f s  (%5.1f%%)  x%lld\n",
+                    names[k], t[k], 100.0 * t[k] / tot, n[k]);
+  }
+};
+static PhaseProf g_prof;
 
 // ---------------------------------------------------------------------------
 // collapse log
@@ -239,11 +278,19 @@ static bool try_collapse(FlapMesh& M, i64 e, const double p[3],
                          int verbose) {
   const i64 s = std::min(M.E[2 * e], M.E[2 * e + 1]);
   const i64 d = std::max(M.E[2 * e], M.E[2 * e + 1]);
+  g_prof.start();
   std::vector<i64> sring, dring;
   circulate(M, e, s, sfaces, sring);
   circulate(M, e, d, dfaces, dring);
-  if (!link_condition(sring, dring)) return false;
-  if (s == M.virtual_vertex || d == M.virtual_vertex) return false;
+  if (!link_condition(sring, dring)) {
+    g_prof.stop(2);
+    return false;
+  }
+  if (s == M.virtual_vertex || d == M.virtual_vertex) {
+    g_prof.stop(2);
+    return false;
+  }
+  g_prof.stop(2);
 
   if (verbose && (log.size() + 1) % 100000 == 0)
     std::printf("#collapses: %zu\n", log.size() + 1);
@@ -306,6 +353,7 @@ static bool try_collapse(FlapMesh& M, i64 e, const double p[3],
       std::find(dring.begin(), dring.end(), M.virtual_vertex) != dring.end();
   const bool edge_on_bd = M.face_is_virtual(M.EF[2 * e]) ||
                           M.face_is_virtual(M.EF[2 * e + 1]);
+  g_prof.stop(3);
 
   // joint flatten + validity gates
   PatchLSCM P;
@@ -322,7 +370,9 @@ static bool try_collapse(FlapMesh& M, i64 e, const double p[3],
   P.vj_on_bd = vj_on_bd;
   P.edge_on_bd = edge_on_bd;
   std::vector<double> UV_pre, UV_post;
-  if (!joint_lscm(P, UV_pre, UV_post)) return false;
+  const bool lscm_ok = joint_lscm(P, UV_pre, UV_post);
+  g_prof.stop(4);
+  if (!lscm_ok) return false;
   if (nf_pre <= 2) return false;  // reference src/SSP_collapse_edge.cpp:188-195
 
   // record + topological surgery
@@ -339,8 +389,10 @@ static bool try_collapse(FlapMesh& M, i64 e, const double p[3],
   log.push_back(std::move(rec));
   const i64 dec_id = (i64)log.size() - 1;
   for (const i64 f : FIdx_pre) decIM[f].push_back(dec_id);
+  g_prof.stop(5);
 
   collapse_edge_topology(M, e, s, d, p, dfaces, killed_edges, killed_faces);
+  g_prof.stop(6);
   return true;
 }
 
@@ -348,6 +400,9 @@ static Result* run_decimate(const double* Vin, i64 nV, const i64* Fin, i64 nF,
                             i64 tarF, int dec_type, int use_random,
                             uint64_t seed, int verbose) {
   auto* R = new Result();
+  g_prof = PhaseProf();
+  g_prof.on = std::getenv("SSP_PROFILE") != nullptr;
+  g_prof.start();
   FlapMesh M;
   M.nV = nV;
   M.V.assign(Vin, Vin + 3 * nV);
@@ -356,7 +411,10 @@ static Result* run_decimate(const double* Vin, i64 nV, const i64* Fin, i64 nF,
   R->orig_nF = nF;
 
   connect_boundary_to_infinity(M);
-  if (!build_flaps(M) || !all_edges_closed(M) || !is_vertex_manifold(M)) {
+  const bool mesh_ok =
+      build_flaps(M) && all_edges_closed(M) && is_vertex_manifold(M);
+  g_prof.stop(10);
+  if (!mesh_ok) {
     std::printf("input mesh is not manifold\n");
     return R;  // ok=false
   }
@@ -365,6 +423,7 @@ static Result* run_decimate(const double* Vin, i64 nV, const i64* Fin, i64 nF,
     std::printf("%s\n", names[dec_type == 1 ? 1 : (dec_type == 2 ? 2 : 0)]);
   }
 
+  g_prof.start();
   std::vector<Quadric> quadrics;
   if (dec_type != kMidpoint) vertex_quadrics(M, quadrics);
 
@@ -377,8 +436,16 @@ static Result* run_decimate(const double* Vin, i64 nV, const i64* Fin, i64 nF,
 #pragma omp parallel for schedule(static)
     for (i64 e = 0; e < nE; ++e)
       cost_and_placement(M, quadrics, dec_type, e, costs[e], &C[3 * e]);
-    for (i64 e = 0; e < nE; ++e) Q.emplace(costs[e], e, 0);
+    // bulk-construct (one O(n) make_heap instead of n sift-ups) with
+    // headroom reserved for the ~15 refresh pushes per collapse.  Pop
+    // order is unaffected: (cost, edge, timestamp) tuples are strictly
+    // totally ordered, so any valid heap pops the same sequence.
+    std::vector<HeapEntry> init;
+    init.reserve((size_t)(nE * 2));
+    for (i64 e = 0; e < nE; ++e) init.emplace_back(costs[e], e, (i64)0);
+    Q = MinHeap(std::greater<HeapEntry>(), std::move(init));
   }
+  g_prof.stop(0);
 
   std::mt19937_64 rng(seed);
   R->decIM.assign(M.nF(), {});
@@ -390,6 +457,7 @@ static Result* run_decimate(const double* Vin, i64 nV, const i64* Fin, i64 nF,
     // the top 1+rand()%100, reference src/SSP_random_collapse_edge.cpp:408-431)
     i64 e = -1;
     bool have = false;
+    g_prof.start();
     while (!Q.empty()) {
       HeapEntry top;
       if (!use_random) {
@@ -419,6 +487,7 @@ static Result* run_decimate(const double* Vin, i64 nV, const i64* Fin, i64 nF,
         break;
       }
     }
+    g_prof.stop(1);
     if (!have) break;
 
     std::vector<i64> sfaces, dfaces;
@@ -428,6 +497,7 @@ static Result* run_decimate(const double* Vin, i64 nV, const i64* Fin, i64 nF,
       // qslim/vertexRemoval quadric merge into the surviving (smaller) id
       // (reference callbacks post_collapse); endpoints recovered from the
       // record since E[e] is dead after surgery.
+      g_prof.start();
       if (dec_type != kMidpoint) {
         const CollapseRecord& rec = R->log.back();
         const i64 vi = rec.subsetVIdx[rec.b0];
@@ -463,6 +533,7 @@ static Result* run_decimate(const double* Vin, i64 nV, const i64* Fin, i64 nF,
         EQ[ei] += 1;
         Q.emplace(cost, ei, EQ[ei]);
       }
+      g_prof.stop(8);
       if (m <= tarF) {
         clean = true;
         break;
@@ -475,6 +546,7 @@ static Result* run_decimate(const double* Vin, i64 nV, const i64* Fin, i64 nF,
 
   // compact faces: J/FIM over ALL working faces, then drop virtual faces
   // (they sit at the end; reference src/SSP_midpoint.cpp:221-241,65-70)
+  g_prof.start();
   const i64 mW = M.nF();
   R->nF_working = mW;
   R->FIM.assign(mW, 0);
@@ -507,6 +579,8 @@ static Result* run_decimate(const double* Vin, i64 nV, const i64* Fin, i64 nF,
   R->Vc.resize(3 * used.size());
   for (size_t k = 0; k < used.size(); ++k)
     for (int c = 0; c < 3; ++c) R->Vc[3 * k + c] = M.V[3 * used[k] + c];
+  g_prof.stop(9);
+  g_prof.report();
   R->clean_finish = clean;
   R->ok = true;
   if (verbose)

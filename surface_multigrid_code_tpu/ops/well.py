@@ -721,6 +721,13 @@ _EPI_KINDS = {
     None: (), "axpby": ("p", "p", "s"), "resid": ("p",), "add": ("p",),
     "resid_scaled": ("p", "s"),
 }
+# block3 kernels: the diag-scale s is the 3x3 block-diagonal inverse,
+# one plane per component ([3, npad] dinv_p, solver/bsr.py) — a "p"
+# operand, unlike the scalar/multi-RHS kernels' column-shared "s"
+_EPI_KINDS_B3 = {
+    None: (), "axpby": ("p", "p", "p"), "resid": ("p",), "add": ("p",),
+    "resid_scaled": ("p", "p"),
+}
 
 
 def _apply_epi(acc, ex, epi, escale, y_ref):
@@ -1211,10 +1218,11 @@ def _well_spmv_impl(W: WellMatrix, x: jnp.ndarray, unpadded: bool,
     return y[: W.n_rows] if unpadded else y
 
 
-@partial(jax.jit, static_argnames=("unpadded", "interpret"))
+@partial(jax.jit, static_argnames=("unpadded", "interpret", "epi", "escale"))
 def well_spmv_block3(
     W: WellMatrix, xp: jnp.ndarray, dats: tuple,
     unpadded: bool = True, interpret: bool = False, acc=None,
+    epi: str | None = None, escale: float = 1.0, ops: tuple = (),
 ):
     """3x3-BLOCK windowed SpMV: y[i] = sum_j A_ij @ x[j] for a vertex-graph
     operator whose values are 3x3 blocks (the BSR balloon Hessian,
@@ -1232,13 +1240,22 @@ def well_spmv_block3(
     planes and 9 components (~10 VPU ops/chain-row + 18 FMA/tap vs the
     scalar kernel's 4 + 2).  Tap/dia(q=1)/legacy layouts supported (the
     vertex graphs build_well_auto produces); phase-split integer slopes
-    are not (square operators never pick them)."""
+    are not (square operators never pick them).
+
+    epi/escale/ops: fused smoother epilogue applied to the accumulator
+    in-kernel (see _apply_epi_planes); operand kinds follow
+    _EPI_KINDS_B3 (the diag scale is a [3, npad] plane here).  ops are
+    pre-tiled [3, nb*SUB, LANE] row tiles."""
     with _x64_kernel_guard(dats[0].dtype):
-        return _well_spmv_block3_impl(W, xp, dats, unpadded, interpret, acc)
+        return _well_spmv_block3_impl(
+            W, xp, dats, unpadded, interpret, acc, epi, escale, ops
+        )
 
 
 def _well_spmv_block3_impl(W: WellMatrix, xp: jnp.ndarray, dats: tuple,
-                           unpadded: bool, interpret: bool, acc):
+                           unpadded: bool, interpret: bool, acc,
+                           epi: str | None = None, escale: float = 1.0,
+                           ops: tuple = ()):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -1258,14 +1275,20 @@ def _well_spmv_block3_impl(W: WellMatrix, xp: jnp.ndarray, dats: tuple,
         x2d = x_pad.reshape(C, XR, LANE)
 
     ex_in = ()
+    ex_kinds = ()
     if acc is not None:
         ex_in += (_plane_tiles(acc, nb).astype(dats[0].dtype),)
+        ex_kinds += ("p",)
+    ex_in += tuple(t.astype(dats[0].dtype) for t in ops)
+    ex_kinds += _EPI_KINDS_B3[epi]
     n_ex = len(ex_in)
 
     mat_spec = pl.BlockSpec((w * SUB, LANE), lambda b, *pf: (b, 0))
     ex_specs = [
         pl.BlockSpec((C, SUB, LANE), lambda b, *pf: (0, b, 0))
-        for _ in range(n_ex)
+        if k == "p"
+        else pl.BlockSpec((SUB, LANE), lambda b, *pf: (b, 0))
+        for k in ex_kinds
     ]
     out_spec = pl.BlockSpec((C, SUB, LANE), lambda b, *pf: (0, b, 0))
     out_shape = jax.ShapeDtypeStruct((C, nb * SUB, LANE), dats[0].dtype)
@@ -1319,8 +1342,6 @@ def _well_spmv_block3_impl(W: WellMatrix, xp: jnp.ndarray, dats: tuple,
             accs = [
                 jnp.zeros((SUB, LANE), dtype=y_ref.dtype) for _ in range(3)
             ]
-            if n_ex:
-                accs = [a + ex[0][c, :, :] for c, a in enumerate(accs)]
             for k in range(w):
                 o = ob_ref[b * w + k] // SUB
                 hik = hi_ref[k * SUB:(k + 1) * SUB, :]
@@ -1342,8 +1363,7 @@ def _well_spmv_block3_impl(W: WellMatrix, xp: jnp.ndarray, dats: tuple,
                         t = jnp.take_along_axis(row_b, lok, axis=1)
                         gs[c] = jnp.where(mask, t, gs[c])
                 accs = contract(accs, gs, dat_refs, k)
-            for i in range(3):
-                y_ref[i, :, :] = accs[i]
+            _apply_epi_planes(accs, ex, ex_kinds, epi, escale, y_ref)
 
         y3d = pl.pallas_call(
             tap_kernel,
@@ -1390,8 +1410,6 @@ def _well_spmv_block3_impl(W: WellMatrix, xp: jnp.ndarray, dats: tuple,
             accs = [
                 jnp.zeros((SUB, LANE), dtype=y_ref.dtype) for _ in range(3)
             ]
-            if n_ex:
-                accs = [a + ex[0][c, :, :] for c, a in enumerate(accs)]
             for k in range(w):
                 ot = ob_ref[b * w + k]
                 ddk = hi_ref[k * SUB:(k + 1) * SUB, :]
@@ -1426,8 +1444,7 @@ def _well_spmv_block3_impl(W: WellMatrix, xp: jnp.ndarray, dats: tuple,
                         t = jnp.take_along_axis(tile_d, lok, axis=1)
                         gs[c] = jnp.where(mask, t, gs[c])
                 accs = contract(accs, gs, dat_refs, k)
-            for i in range(3):
-                y_ref[i, :, :] = accs[i]
+            _apply_epi_planes(accs, ex, ex_kinds, epi, escale, y_ref)
 
         y3d = pl.pallas_call(
             dia_kernel,
@@ -1467,8 +1484,6 @@ def _well_spmv_block3_impl(W: WellMatrix, xp: jnp.ndarray, dats: tuple,
         accs = [
             jnp.zeros((SUB, LANE), dtype=y_ref.dtype) for _ in range(3)
         ]
-        if n_ex:
-            accs = [a + ex[0][c, :, :] for c, a in enumerate(accs)]
         for k in range(w):
             hik = hi_ref[k * SUB:(k + 1) * SUB, :]
             lok = lo_ref[k * SUB:(k + 1) * SUB, :]
@@ -1505,8 +1520,7 @@ def _well_spmv_block3_impl(W: WellMatrix, xp: jnp.ndarray, dats: tuple,
                     ),
                 ))
             accs = contract(accs, gs, dat_refs, k)
-        for i in range(3):
-            y_ref[i, :, :] = accs[i]
+        _apply_epi_planes(accs, ex, ex_kinds, epi, escale, y_ref)
 
     y3d = pl.pallas_call(
         kernel,
@@ -1517,17 +1531,33 @@ def _well_spmv_block3_impl(W: WellMatrix, xp: jnp.ndarray, dats: tuple,
     return finish(y3d)
 
 
-def well_block3_apply(Ws, xp: jnp.ndarray, dats_groups, acc=None):
-    """Block SpMV over a WellMatrix or tuple of slot groups: dats_groups
-    is a tuple (per group) of 9-tuples of packed dat arrays."""
+def well_block3_apply(Ws, xp: jnp.ndarray, dats_groups, acc=None,
+                      epi: str | None = None, b=None, u=None, s=None,
+                      escale: float = 1.0):
+    """Block SpMV + fused epilogue over a WellMatrix or tuple of slot
+    groups: dats_groups is a tuple (per group) of 9-tuples of packed dat
+    arrays.  Partial group sums chain through acc; the epilogue runs in
+    the LAST group's kernel (as well_apply does for the scalar path), so
+    a whole block-smoother update is one Pallas call per group with no
+    XLA elementwise ops between.  b/u/s are planes [3, npad] (s = the
+    per-component diag scale dinv_p; traced scalars fold into s)."""
     Ws = Ws if isinstance(Ws, tuple) else (Ws,)
     dats_groups = (
         dats_groups if isinstance(dats_groups[0], tuple) else (dats_groups,)
     )
+    nb = Ws[0].nb
+    operands = {
+        None: (), "axpby": (u, b, s), "resid": (b,), "add": (u,),
+        "resid_scaled": (b, s),
+    }[epi]
+    ops = tuple(_plane_tiles(v, nb) for v in operands)
     y = acc
-    for W, dats in zip(Ws, dats_groups):
+    for W, dats in zip(Ws[:-1], dats_groups[:-1]):
         y = well_spmv_block3(W, xp, dats, unpadded=False, acc=y)
-    return y
+    return well_spmv_block3(
+        Ws[-1], xp, dats_groups[-1], unpadded=False, acc=y,
+        epi=epi, escale=escale, ops=ops,
+    )
 
 
 def _apply_epi_planes(accs, ex, ex_kinds, epi, escale, y_ref):

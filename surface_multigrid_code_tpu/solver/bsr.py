@@ -177,27 +177,40 @@ def _bsr_well_spmv(level: BsrLevel, xp):
 
 def _bsr_relax_planes(level: BsrLevel, bp, up, cfg: SolveConfig,
                       n_iter: int):
+    """Smoother iterations with the residual scaling fused into the
+    block3 kernel epilogue (epi="resid_scaled"/"axpby", ops/well.py):
+    each iteration is one kernel dispatch per group, with only the cheap
+    Chebyshev 2-term recurrence left as XLA elementwise."""
+    from surface_multigrid_code_tpu.ops.well import well_block3_apply
+
     dinv = level.dinv_p
+
+    def resid_scaled(up):
+        return well_block3_apply(
+            level.Aw, up, level.dats, epi="resid_scaled", b=bp, s=dinv
+        )
+
     if cfg.smoother == SmootherType.CHEBYSHEV and level.lam_max is not None:
         lam_max = level.lam_max
         lam_min = lam_max / 4.0
         theta = 0.5 * (lam_max + lam_min)
         delta = 0.5 * (lam_max - lam_min)
-        r = (bp - _bsr_well_spmv(level, up)) * dinv
+        r = resid_scaled(up)
         d = r / theta
         up = up + d
         sigma = theta / delta
         rho = 1.0 / sigma
         for _ in range(n_iter - 1):
             rho_new = 1.0 / (2.0 * sigma - rho)
-            r = (bp - _bsr_well_spmv(level, up)) * dinv
+            r = resid_scaled(up)
             d = rho_new * rho * d + (2.0 * rho_new / delta) * r
             up = up + d
             rho = rho_new
         return up
     for _ in range(n_iter):
-        up = up + cfg.jacobi_weight * (
-            (bp - _bsr_well_spmv(level, up)) * dinv
+        up = well_block3_apply(
+            level.Aw, up, level.dats, epi="axpby", u=up, b=bp,
+            s=cfg.jacobi_weight * dinv,
         )
     return up
 
@@ -218,12 +231,14 @@ def bsr_vcycle_planes(hier: BsrHierarchy, bp, up, cfg: SolveConfig):
             b3 = B[:, :nc].T.reshape(3 * nc)
             u3 = (hier.coarse_inv @ b3).reshape(nc, 3).T
             return U.at[:, :nc].add(u3)
+        from surface_multigrid_code_tpu.ops.well import well_block3_apply
+
         U = _bsr_relax_planes(level, B, U, cfg, cfg.pre_relax_iter)
-        r = B - _bsr_well_spmv(level, U)
+        r = well_block3_apply(level.Aw, U, level.dats, epi="resid", b=B)
         nxt = hier.levels[lv + 1]
         rc = well_apply(nxt.PTw, r, unpadded=False)
         uc = go(lv + 1, rc, jnp.zeros_like(rc))
-        U = U + well_apply(nxt.Pw, uc, unpadded=False)
+        U = well_apply(nxt.Pw, uc, epi="add", u=U, unpadded=False)
         return _bsr_relax_planes(level, B, U, cfg, cfg.post_relax_iter)
 
     return go(0, bp, up)
@@ -254,7 +269,11 @@ def bsr_solve_loop(hier: BsrHierarchy, rhs, z0, tol, max_iter: int,
         zp = to_planes(z0)
 
         def resid(z):
-            r = rp - _bsr_well_spmv(lv0, z)
+            from surface_multigrid_code_tpu.ops.well import (
+                well_block3_apply,
+            )
+
+            r = well_block3_apply(lv0.Aw, z, lv0.dats, epi="resid", b=rp)
             return jnp.sqrt((r * r).sum())
 
         def cond(state):
