@@ -90,8 +90,8 @@ int main(int argc, char** argv) {
       ssp::run_decimate(V.data(), nV, F.data(), nF, tarF, dec_type, 0, 0, 1);
   auto t1 = std::chrono::steady_clock::now();
   double dt = std::chrono::duration<double>(t1 - t0).count();
-  std::printf("decimate: %.2f s  ok=%d collapses=%zu\n", dt, (int)R->ok,
-              R->log.size());
+  std::printf("decimate: %.2f s  ok=%d collapses=%lld\n", dt, (int)R->ok,
+              (long long)R->log.n);
   delete R;
   return 0;
 }

@@ -12,6 +12,10 @@
 
 #include <algorithm>
 #include <cassert>
+#ifdef __linux__
+#include <sys/mman.h>
+#include <unistd.h>
+#endif
 #include <cmath>
 #include <cstdint>
 #include <functional>
@@ -23,6 +27,31 @@ namespace ssp {
 
 using i64 = int64_t;
 constexpr i64 kDead = -1;
+
+// Bulk-populate the pages behind a reserved buffer.  On this class of
+// (nested-)VM a demand page fault costs ~40 us — streaming writes into
+// cold buffers measured 0.1 GB/s vs 6.6 GB/s on warm pages — while
+// MADV_POPULATE_WRITE populates the same pages ~4x faster in one kernel
+// call (round-4 membench).  No-op (harmless EINVAL) where unsupported.
+inline void prefault_write(void* p, size_t len) {
+#ifdef __linux__
+  if (!p || !len) return;
+  const size_t page = (size_t)sysconf(_SC_PAGESIZE);
+  uintptr_t lo = (uintptr_t)p & ~(page - 1);
+  uintptr_t hi = ((uintptr_t)p + len + page - 1) & ~(page - 1);
+#ifdef MADV_POPULATE_WRITE
+  madvise((void*)lo, hi - lo, MADV_POPULATE_WRITE);
+#else
+  madvise((void*)lo, hi - lo, 23);  // MADV_POPULATE_WRITE value
+#endif
+#endif
+}
+
+template <typename T>
+inline void reserve_prefault(std::vector<T>& v, size_t n) {
+  v.reserve(n);
+  prefault_write(v.data(), n * sizeof(T));
+}
 
 struct EdgeKey {
   i64 a, b;  // sorted: a < b
@@ -73,36 +102,75 @@ struct FlapMesh {
 // mesh is not edge-manifold-and-consistently-oriented (an undirected edge
 // with >1 face on the same side, or >2 faces total).
 inline bool build_flaps(FlapMesh& M) {
+  // Sort-based edge pairing (the former per-halfedge unordered_map was
+  // ~8 s of the ico9 build): group the 3m halfedges by undirected key,
+  // then assign edge ids in FIRST-ENCOUNTER (f, c) order — exactly the
+  // order the hash-map version produced — by sorting groups on their
+  // minimum halfedge sequence number.
   const i64 m = M.nF();
-  std::unordered_map<EdgeKey, i64, EdgeKeyHash> ids;
-  ids.reserve(3 * m);
-  M.E.clear();
-  M.EMAP.assign(3 * m, kDead);
-  M.EF.clear();
-  M.EI.clear();
+  struct HE {
+    i64 ka, kb, seq;  // sorted key pair; seq = 3*f + c
+  };
+  std::vector<HE> hes;
+  reserve_prefault(hes, 3 * m);
   for (i64 f = 0; f < m; ++f) {
     for (int c = 0; c < 3; ++c) {
       const i64 a = M.F[3 * f + (c + 1) % 3];
       const i64 b = M.F[3 * f + (c + 2) % 3];
       if (a == b) return false;  // degenerate face
-      EdgeKey key{std::min(a, b), std::max(a, b)};
-      auto it = ids.find(key);
-      i64 e;
-      if (it == ids.end()) {
-        e = (i64)M.E.size() / 2;
-        ids.emplace(key, e);
-        // store endpoints in the direction of first appearance
-        M.E.push_back(a);
-        M.E.push_back(b);
-        M.EF.push_back(kDead);
-        M.EF.push_back(kDead);
-        M.EI.push_back(kDead);
-        M.EI.push_back(kDead);
-      } else {
-        e = it->second;
-      }
-      const int side = (M.E[2 * e] == a && M.E[2 * e + 1] == b) ? 0 : 1;
-      if (M.EF[2 * e + side] != kDead) return false;  // non-manifold / bad orient
+      hes.push_back({std::min(a, b), std::max(a, b), 3 * f + c});
+    }
+  }
+  std::sort(hes.begin(), hes.end(), [](const HE& x, const HE& y) {
+    if (x.ka != y.ka) return x.ka < y.ka;
+    if (x.kb != y.kb) return x.kb < y.kb;
+    return x.seq < y.seq;
+  });
+  // group boundaries; reject >2 halfedges per undirected edge
+  std::vector<std::pair<i64, i64>> order;  // (min_seq, group start)
+  reserve_prefault(order, 3 * m / 2 + 1);
+  {
+    size_t i = 0;
+    while (i < hes.size()) {
+      size_t j = i + 1;
+      while (j < hes.size() && hes[j].ka == hes[i].ka &&
+             hes[j].kb == hes[i].kb)
+        ++j;
+      if (j - i > 2) return false;  // non-manifold edge
+      order.emplace_back(hes[i].seq, (i64)i);  // seqs ascend within group
+      i = j;
+    }
+  }
+  std::sort(order.begin(), order.end());
+  const i64 nE = (i64)order.size();
+  M.E.clear();
+  reserve_prefault(M.E, 2 * nE);
+  reserve_prefault(M.EMAP, 3 * m);
+  reserve_prefault(M.EF, 2 * nE);
+  reserve_prefault(M.EI, 2 * nE);
+  M.E.assign(2 * nE, kDead);
+  M.EMAP.assign(3 * m, kDead);
+  M.EF.assign(2 * nE, kDead);
+  M.EI.assign(2 * nE, kDead);
+  for (i64 e = 0; e < nE; ++e) {
+    const i64 g0 = order[e].second;
+    // endpoints in the direction of first appearance
+    const i64 seq0 = hes[g0].seq;
+    const i64 f0 = seq0 / 3;
+    const int c0 = (int)(seq0 % 3);
+    const i64 a0 = M.F[3 * f0 + (c0 + 1) % 3];
+    const i64 b0 = M.F[3 * f0 + (c0 + 2) % 3];
+    M.E[2 * e] = a0;
+    M.E[2 * e + 1] = b0;
+    for (i64 k = g0; k < (i64)hes.size() && hes[k].ka == hes[g0].ka &&
+                     hes[k].kb == hes[g0].kb;
+         ++k) {
+      const i64 f = hes[k].seq / 3;
+      const int c = (int)(hes[k].seq % 3);
+      const i64 a = M.F[3 * f + (c + 1) % 3];
+      const i64 b = M.F[3 * f + (c + 2) % 3];
+      const int side = (a0 == a && b0 == b) ? 0 : 1;
+      if (M.EF[2 * e + side] != kDead) return false;  // bad orientation
       M.EF[2 * e + side] = f;
       M.EI[2 * e + side] = c;
       M.EMAP[3 * f + c] = e;
@@ -147,20 +215,23 @@ inline bool is_vertex_manifold(const FlapMesh& M) {
       continue;
     }
     const size_t cnt = j - i;
-    // union-find local to this vertex group
-    std::unordered_map<i64, i64> idx;  // face -> local id
-    idx.reserve(cnt * 2);
-    std::vector<i64> par(cnt);
-    for (size_t k = 0; k < cnt; ++k) {
-      par[k] = (i64)k;
-      idx[vc[i + k].second] = (i64)k;
-    }
-    std::function<i64(i64)> find = [&](i64 x) {
+    // union-find local to this vertex group.  Fans are tiny (~6 faces),
+    // so a linear scan beats a per-vertex hash map, and a plain lambda
+    // beats the former std::function (visible in the round-4 gprof).
+    static thread_local std::vector<i64> par;
+    par.assign(cnt, 0);
+    for (size_t k = 0; k < cnt; ++k) par[k] = (i64)k;
+    auto find = [&](i64 x) {
       while (par[x] != x) {
         par[x] = par[par[x]];
         x = par[x];
       }
       return x;
+    };
+    auto local_of = [&](i64 face) {
+      for (size_t k = 0; k < cnt; ++k)
+        if (vc[i + k].second == face) return (i64)k;
+      return (i64)-1;
     };
     for (size_t k = 0; k < cnt; ++k) {
       const i64 f = vc[i + k].second;
@@ -170,9 +241,9 @@ inline bool is_vertex_manifold(const FlapMesh& M) {
         const i64 e = M.EMAP[3 * f + (c + o) % 3];
         const i64 g = (M.EF[2 * e] == f) ? M.EF[2 * e + 1] : M.EF[2 * e];
         if (g == kDead) continue;
-        auto it = idx.find(g);
-        if (it == idx.end()) return false;  // neighbor across v-edge lacks v?!
-        const i64 ra = find((i64)k), rb = find(it->second);
+        const i64 lg = local_of(g);
+        if (lg < 0) return false;  // neighbor across v-edge lacks v?!
+        const i64 ra = find((i64)k), rb = find(lg);
         if (ra != rb) par[ra] = rb;
       }
     }
@@ -261,8 +332,12 @@ inline void circulate(const FlapMesh& M, i64 e, i64 v, std::vector<i64>& faces,
 // endpoints must intersect in exactly two vertices (the two flap corners).
 // Rings include the virtual vertex, which automatically rejects collapsing
 // an interior edge whose endpoints both lie on the mesh boundary.
-inline bool link_condition(std::vector<i64> rs, std::vector<i64> rd) {
-  if (rs.size() < 2 || rd.size() < 2) return false;
+inline bool link_condition(const std::vector<i64>& rs_in,
+                           const std::vector<i64>& rd_in) {
+  if (rs_in.size() < 2 || rd_in.size() < 2) return false;
+  static thread_local std::vector<i64> rs, rd;  // sort scratch (hot loop)
+  rs.assign(rs_in.begin(), rs_in.end());
+  rd.assign(rd_in.begin(), rd_in.end());
   std::sort(rs.begin(), rs.end());
   std::sort(rd.begin(), rd.end());
   size_t i = 0, j = 0, common = 0;

@@ -66,8 +66,8 @@ struct PhaseProf {
     if (!on) return;
     const char* names[kN] = {
         "initial_costs", "heap_pop",      "circulate_link", "patch_assemble",
-        "joint_lscm",    "record",        "surgery",        "quadric_merge",
-        "cost_refresh",  "compaction",    "flaps_manifold", "-"};
+        "joint_lscm",    "decim_push",    "surgery",        "quadric_merge",
+        "cost_refresh",  "compaction",    "flaps_manifold", "arena_append"};
     double tot = 0;
     for (int k = 0; k < kN; ++k) tot += t[k];
     std::printf("[ssp-profile] total accounted %.3f s\n", tot);
@@ -80,14 +80,21 @@ struct PhaseProf {
 static PhaseProf g_prof;
 
 // ---------------------------------------------------------------------------
-// collapse log
+// collapse log — flat CSR arena.  Records append directly into the
+// arrays ssp_result_fill hands to Python (one growing allocation per
+// array instead of ~7 vectors per collapse; the per-record std::vector
+// log was 11% of the ico9 build in the round-4 phase profile).  Layout
+// matches the C API exactly: *off arrays carry the leading 0, so they
+// are the n+1-entry offset arrays verbatim.
 // ---------------------------------------------------------------------------
-struct CollapseRecord {
-  i64 b0, b1;                        // local ids of (vi, vj) in subsetVIdx
-  std::vector<i64> subsetVIdx;       // sorted global vertex ids of the patch
-  std::vector<i64> FUV_pre, FIdx_pre;    // local faces + global face ids
-  std::vector<i64> FUV_post, FIdx_post;
-  std::vector<double> UV_pre, UV_post;   // nVp x 2 joint UVs
+struct FlatLogStore {
+  i64 n = 0;
+  std::vector<i64> b;                    // 2n: local ids of (vi, vj)
+  std::vector<i64> voff{0};              // n+1
+  std::vector<i64> subset;               // sorted global patch vertex ids
+  std::vector<double> uv_pre, uv_post;   // 2 * voff[n]
+  std::vector<i64> foff_pre{0}, fuv_pre, fidx_pre;
+  std::vector<i64> foff_post{0}, fuv_post, fidx_post;
 };
 
 // ---------------------------------------------------------------------------
@@ -259,19 +266,72 @@ struct Result {
   std::vector<i64> IM;   // coarse vertex -> original vertex id
   std::vector<i64> IMF;  // coarse face   -> original face id (J)
   std::vector<i64> FIM;  // working face  -> compact face id
-  std::vector<CollapseRecord> log;
+  FlatLogStore log;
   std::vector<std::vector<i64>> decIM;  // working face -> collapse ids (asc)
 };
 
-using HeapEntry = std::tuple<double, i64, i64>;  // (cost, edge, timestamp)
-using MinHeap =
-    std::priority_queue<HeapEntry, std::vector<HeapEntry>, std::greater<HeapEntry>>;
+// (cost, edge, timestamp) with lexicographic order — (edge, timestamp)
+// pairs are unique, so the order is strict and total: ANY correct
+// min-heap pops the exact same sequence.  4-ary layout halves the tree
+// depth of the binary std::priority_queue and keeps each child scan in
+// ~1.5 cache lines; heap_pop was 16% of the ico9 build (phase profile).
+struct HeapEntry {
+  double cost;
+  i64 e, ts;
+  bool less(const HeapEntry& o) const {
+    if (cost != o.cost) return cost < o.cost;
+    if (e != o.e) return e < o.e;
+    return ts < o.ts;
+  }
+};
+
+struct MinHeap {
+  std::vector<HeapEntry> a;
+  bool empty() const { return a.empty(); }
+  size_t size() const { return a.size(); }
+  const HeapEntry& top() const { return a[0]; }
+  void build(std::vector<HeapEntry>&& v) {
+    a = std::move(v);
+    if (a.size() > 1)
+      for (i64 i = ((i64)a.size() - 2) / 4; i >= 0; --i) sift_down(i);
+  }
+  void emplace(double cost, i64 e, i64 ts) { push({cost, e, ts}); }
+  void push(const HeapEntry& x) {
+    a.push_back(x);
+    i64 i = (i64)a.size() - 1;
+    while (i > 0) {
+      const i64 par = (i - 1) / 4;
+      if (!a[i].less(a[par])) break;
+      std::swap(a[i], a[par]);
+      i = par;
+    }
+  }
+  void pop() {
+    a[0] = a.back();
+    a.pop_back();
+    if (!a.empty()) sift_down(0);
+  }
+  void sift_down(i64 i) {
+    const i64 n = (i64)a.size();
+    for (;;) {
+      const i64 c0 = 4 * i + 1;
+      if (c0 >= n) return;
+      i64 best = c0;
+      const i64 cend = std::min(c0 + 4, n);
+      for (i64 c = c0 + 1; c < cend; ++c)
+        if (a[c].less(a[best])) best = c;
+      if (!a[best].less(a[i])) return;
+      std::swap(a[i], a[best]);
+      i = best;
+    }
+  }
+};
 
 // Attempt one collapse of edge e with placement p.  Returns true on success
 // (record appended, topology updated).  Mirrors reference
 // src/SSP_collapse_edge.cpp:17-379 behavior.
 static bool try_collapse(FlapMesh& M, i64 e, const double p[3],
-                         std::vector<CollapseRecord>& log,
+                         FlatLogStore& log,
                          std::vector<std::vector<i64>>& decIM,
                          std::vector<i64>& sfaces, std::vector<i64>& dfaces,
                          i64 killed_edges[2], i64 killed_faces[2],
@@ -279,7 +339,7 @@ static bool try_collapse(FlapMesh& M, i64 e, const double p[3],
   const i64 s = std::min(M.E[2 * e], M.E[2 * e + 1]);
   const i64 d = std::max(M.E[2 * e], M.E[2 * e + 1]);
   g_prof.start();
-  std::vector<i64> sring, dring;
+  static thread_local std::vector<i64> sring, dring;
   circulate(M, e, s, sfaces, sring);
   circulate(M, e, d, dfaces, dring);
   if (!link_condition(sring, dring)) {
@@ -292,12 +352,14 @@ static bool try_collapse(FlapMesh& M, i64 e, const double p[3],
   }
   g_prof.stop(2);
 
-  if (verbose && (log.size() + 1) % 100000 == 0)
-    std::printf("#collapses: %zu\n", log.size() + 1);
+  if (verbose && (log.n + 1) % 100000 == 0)
+    std::printf("#collapses: %lld\n", (long long)(log.n + 1));
 
   // one-ring faces (reference get_collapse_onering_faces): alive, real,
-  // touching s or d; sorted unique ascending
-  std::vector<i64> FIdx_pre;
+  // touching s or d; sorted unique ascending (thread-local scratch; the
+  // arrays are appended into the flat log only on success)
+  static thread_local std::vector<i64> FIdx_pre;
+  FIdx_pre.clear();
   for (const auto* fs : {&sfaces, &dfaces})
     for (const i64 f : *fs) {
       if (!M.face_alive(f) || M.face_is_virtual(f)) continue;
@@ -309,7 +371,8 @@ static bool try_collapse(FlapMesh& M, i64 e, const double p[3],
   const i64 nf_pre = (i64)FIdx_pre.size();
 
   // localize patch (reference remove_unreferenced_lessF): sorted unique ids
-  std::vector<i64> subset;
+  static thread_local std::vector<i64> subset;
+  subset.clear();
   subset.reserve(3 * nf_pre);
   for (const i64 f : FIdx_pre)
     for (int c = 0; c < 3; ++c) subset.push_back(M.F[3 * f + c]);
@@ -320,17 +383,21 @@ static bool try_collapse(FlapMesh& M, i64 e, const double p[3],
     return (i64)(std::lower_bound(subset.begin(), subset.end(), v) -
                  subset.begin());
   };
-  std::vector<i64> FUV_pre(3 * nf_pre);
+  static thread_local std::vector<i64> FUV_pre;
+  FUV_pre.assign(3 * nf_pre, 0);
   for (i64 k = 0; k < nf_pre; ++k)
     for (int c = 0; c < 3; ++c)
       FUV_pre[3 * k + c] = local_id(M.F[3 * FIdx_pre[k] + c]);
-  std::vector<double> V_pre(3 * nVp);
+  static thread_local std::vector<double> V_pre;
+  V_pre.assign(3 * nVp, 0.0);
   for (i64 k = 0; k < nVp; ++k)
     for (int c = 0; c < 3; ++c) V_pre[3 * k + c] = M.V[3 * subset[k] + c];
   const i64 b0 = local_id(s), b1 = local_id(d);
 
   // post patch (reference get_post_faces): drop faces containing both, b1->b0
-  std::vector<i64> FUV_post, FIdx_post;
+  static thread_local std::vector<i64> FUV_post, FIdx_post;
+  FUV_post.clear();
+  FIdx_post.clear();
   for (i64 k = 0; k < nf_pre; ++k) {
     const i64* fv = &FUV_pre[3 * k];
     const bool has0 = fv[0] == b0 || fv[1] == b0 || fv[2] == b0;
@@ -341,7 +408,8 @@ static bool try_collapse(FlapMesh& M, i64 e, const double p[3],
     FIdx_post.push_back(FIdx_pre[k]);
   }
   const i64 nf_post = (i64)FIdx_post.size();
-  std::vector<double> V_post = V_pre;
+  static thread_local std::vector<double> V_post;
+  V_post.assign(V_pre.begin(), V_pre.end());
   for (int c = 0; c < 3; ++c) V_post[3 * b0 + c] = p[c];
 
   // boundary flags
@@ -369,25 +437,29 @@ static bool try_collapse(FlapMesh& M, i64 e, const double p[3],
   P.vi_on_bd = vi_on_bd;
   P.vj_on_bd = vj_on_bd;
   P.edge_on_bd = edge_on_bd;
-  std::vector<double> UV_pre, UV_post;
+  static thread_local std::vector<double> UV_pre, UV_post;
   const bool lscm_ok = joint_lscm(P, UV_pre, UV_post);
   g_prof.stop(4);
   if (!lscm_ok) return false;
   if (nf_pre <= 2) return false;  // reference src/SSP_collapse_edge.cpp:188-195
 
-  // record + topological surgery
-  CollapseRecord rec;
-  rec.b0 = b0;
-  rec.b1 = b1;
-  rec.subsetVIdx = std::move(subset);
-  rec.FUV_pre = std::move(FUV_pre);
-  rec.FIdx_pre = FIdx_pre;
-  rec.FUV_post = std::move(FUV_post);
-  rec.FIdx_post = std::move(FIdx_post);
-  rec.UV_pre = std::move(UV_pre);
-  rec.UV_post = std::move(UV_post);
-  log.push_back(std::move(rec));
-  const i64 dec_id = (i64)log.size() - 1;
+  // record: append into the flat arena
+  log.b.push_back(b0);
+  log.b.push_back(b1);
+  log.subset.insert(log.subset.end(), subset.begin(), subset.end());
+  log.voff.push_back((i64)log.subset.size());
+  log.uv_pre.insert(log.uv_pre.end(), UV_pre.begin(), UV_pre.end());
+  log.uv_post.insert(log.uv_post.end(), UV_post.begin(), UV_post.end());
+  log.fuv_pre.insert(log.fuv_pre.end(), FUV_pre.begin(), FUV_pre.end());
+  log.fidx_pre.insert(log.fidx_pre.end(), FIdx_pre.begin(), FIdx_pre.end());
+  log.foff_pre.push_back((i64)log.fidx_pre.size());
+  log.fuv_post.insert(log.fuv_post.end(), FUV_post.begin(), FUV_post.end());
+  log.fidx_post.insert(log.fidx_post.end(), FIdx_post.begin(),
+                       FIdx_post.end());
+  log.foff_post.push_back((i64)log.fidx_post.size());
+  const i64 dec_id = log.n;
+  log.n += 1;
+  g_prof.stop(11);
   for (const i64 f : FIdx_pre) decIM[f].push_back(dec_id);
   g_prof.stop(5);
 
@@ -428,8 +500,12 @@ static Result* run_decimate(const double* Vin, i64 nV, const i64* Fin, i64 nF,
   if (dec_type != kMidpoint) vertex_quadrics(M, quadrics);
 
   const i64 nE = M.nE();
-  std::vector<double> C(3 * nE);  // placements
-  std::vector<i64> EQ(nE, 0);     // timestamps
+  std::vector<double> C;  // placements
+  reserve_prefault(C, 3 * nE);
+  C.assign(3 * nE, 0.0);
+  std::vector<i64> EQ;    // timestamps
+  reserve_prefault(EQ, nE);
+  EQ.assign(nE, 0);
   MinHeap Q;
   {
     std::vector<double> costs(nE);
@@ -441,16 +517,41 @@ static Result* run_decimate(const double* Vin, i64 nV, const i64* Fin, i64 nF,
     // order is unaffected: (cost, edge, timestamp) tuples are strictly
     // totally ordered, so any valid heap pops the same sequence.
     std::vector<HeapEntry> init;
-    init.reserve((size_t)(nE * 2));
-    for (i64 e = 0; e < nE; ++e) init.emplace_back(costs[e], e, (i64)0);
-    Q = MinHeap(std::greater<HeapEntry>(), std::move(init));
+    reserve_prefault(init, (size_t)(nE * 2));
+    for (i64 e = 0; e < nE; ++e) init.push_back({costs[e], e, 0});
+    Q.build(std::move(init));
   }
   g_prof.stop(0);
 
   std::mt19937_64 rng(seed);
+  reserve_prefault(R->decIM, M.nF());
   R->decIM.assign(M.nF(), {});
   i64 m = nF;  // live real-face counter
   bool clean = false;
+
+  // Pre-reserve the flat-log arenas: growth reallocation of the
+  // multi-hundred-MB arrays goes through mmap'd copies whose page
+  // faults dominated the record phase at ico9 scale (23 s measured).
+  // est_n = nF - tarF is a ~2x upper bound on the collapse count
+  // (closed-surface collapses kill 2 real faces each); reserve commits
+  // only virtual address space — pages fault in once, as appended.
+  {
+    // est_n is deliberately ~the collapse count, not its 2x upper bound:
+    // overshoot is prefaulted (paid) memory on this VM, and vectors that
+    // outgrow it just demand-fault their tail.
+    const i64 est_n = std::max<i64>(16, (nF - tarF) * 5 / 8);
+    reserve_prefault(R->log.b, 2 * est_n);
+    reserve_prefault(R->log.voff, est_n + 1);
+    reserve_prefault(R->log.subset, 15 * est_n);
+    reserve_prefault(R->log.uv_pre, 30 * est_n);
+    reserve_prefault(R->log.uv_post, 30 * est_n);
+    reserve_prefault(R->log.foff_pre, est_n + 1);
+    reserve_prefault(R->log.fuv_pre, 43 * est_n);
+    reserve_prefault(R->log.fidx_pre, 15 * est_n);
+    reserve_prefault(R->log.foff_post, est_n + 1);
+    reserve_prefault(R->log.fuv_post, 37 * est_n);
+    reserve_prefault(R->log.fidx_post, 13 * est_n);
+  }
 
   while (true) {
     // pop a valid heap entry (lazy invalidation; random variant pops among
@@ -476,13 +577,13 @@ static Result* run_decimate(const double* Vin, i64 nV, const i64* Fin, i64 nF,
         Q.pop();
         for (const auto& h : holder) Q.push(h);
       }
-      if (std::get<0>(top) == kInf) {
+      if (top.cost == kInf) {
         // min-cost edge is infinite: push back and stop
         Q.push(top);
         break;
       }
-      e = std::get<1>(top);
-      if (std::get<2>(top) == EQ[e]) {
+      e = top.e;
+      if (top.ts == EQ[e]) {
         have = true;
         break;
       }
@@ -490,7 +591,7 @@ static Result* run_decimate(const double* Vin, i64 nV, const i64* Fin, i64 nF,
     g_prof.stop(1);
     if (!have) break;
 
-    std::vector<i64> sfaces, dfaces;
+    static thread_local std::vector<i64> sfaces, dfaces;
     i64 killed_edges[2], killed_faces[2];
     if (try_collapse(M, e, &C[3 * e], R->log, R->decIM, sfaces, dfaces,
                      killed_edges, killed_faces, verbose)) {
@@ -499,9 +600,10 @@ static Result* run_decimate(const double* Vin, i64 nV, const i64* Fin, i64 nF,
       // record since E[e] is dead after surgery.
       g_prof.start();
       if (dec_type != kMidpoint) {
-        const CollapseRecord& rec = R->log.back();
-        const i64 vi = rec.subsetVIdx[rec.b0];
-        const i64 vj = rec.subsetVIdx[rec.b1];
+        const FlatLogStore& lg = R->log;
+        const i64 v0 = lg.voff[lg.n - 1];
+        const i64 vi = lg.subset[v0 + lg.b[2 * (lg.n - 1)]];
+        const i64 vj = lg.subset[v0 + lg.b[2 * (lg.n - 1) + 1]];
         Quadric qsum = quadrics[vi];
         qsum.add(quadrics[vj]);
         quadrics[vi] = qsum;
@@ -514,13 +616,14 @@ static Result* run_decimate(const double* Vin, i64 nV, const i64* Fin, i64 nF,
       EQ[killed_edges[0]] = -1;
       EQ[killed_edges[1]] = -1;
       // refresh neighborhood costs (reference src/SSP_collapse_edge.cpp:482-520)
-      std::vector<i64> Nf;
+      static thread_local std::vector<i64> Nf, Ne;
+      Nf.clear();
       Nf.reserve(sfaces.size() + dfaces.size());
       Nf.insert(Nf.end(), sfaces.begin(), sfaces.end());
       Nf.insert(Nf.end(), dfaces.begin(), dfaces.end());
       std::sort(Nf.begin(), Nf.end());
       Nf.erase(std::unique(Nf.begin(), Nf.end()), Nf.end());
-      std::vector<i64> Ne;
+      Ne.clear();
       for (const i64 f : Nf) {
         if (!M.face_alive(f)) continue;
         for (int c = 0; c < 3; ++c) Ne.push_back(M.EMAP[3 * f + c]);
@@ -719,21 +822,16 @@ void* ssp_decimate(const double* V, i64 nV, const i64* F, i64 nF, i64 tarF,
 //               totalF_post, nF_working, total_decIM
 void ssp_result_sizes(void* h, i64* sizes) {
   auto* R = (ssp::Result*)h;
-  i64 totalV = 0, tfp = 0, tfq = 0, tdim = 0;
-  for (const auto& r : R->log) {
-    totalV += (i64)r.subsetVIdx.size();
-    tfp += (i64)r.FIdx_pre.size();
-    tfq += (i64)r.FIdx_post.size();
-  }
+  i64 tdim = 0;
   for (const auto& l : R->decIM) tdim += (i64)l.size();
   sizes[0] = R->ok;
   sizes[1] = R->clean_finish;
   sizes[2] = (i64)R->IM.size();
   sizes[3] = (i64)R->IMF.size();
-  sizes[4] = (i64)R->log.size();
-  sizes[5] = totalV;
-  sizes[6] = tfp;
-  sizes[7] = tfq;
+  sizes[4] = R->log.n;
+  sizes[5] = (i64)R->log.subset.size();
+  sizes[6] = (i64)R->log.fidx_pre.size();
+  sizes[7] = (i64)R->log.fidx_post.size();
   sizes[8] = R->nF_working;
   sizes[9] = tdim;
 }
@@ -749,32 +847,21 @@ void ssp_result_fill(void* h, double* Vc, i64* Fc, i64* IM, i64* IMF, i64* FIM,
   std::memcpy(IM, R->IM.data(), R->IM.size() * sizeof(i64));
   std::memcpy(IMF, R->IMF.data(), R->IMF.size() * sizeof(i64));
   std::memcpy(FIM, R->FIM.data(), R->FIM.size() * sizeof(i64));
-  i64 vo = 0, fp = 0, fq = 0;
-  const i64 n = (i64)R->log.size();
-  for (i64 k = 0; k < n; ++k) {
-    const auto& r = R->log[k];
-    b[2 * k] = r.b0;
-    b[2 * k + 1] = r.b1;
-    voff[k] = vo;
-    const i64 nv = (i64)r.subsetVIdx.size();
-    std::memcpy(subset + vo, r.subsetVIdx.data(), nv * sizeof(i64));
-    std::memcpy(uv_pre + 2 * vo, r.UV_pre.data(), 2 * nv * sizeof(double));
-    std::memcpy(uv_post + 2 * vo, r.UV_post.data(), 2 * nv * sizeof(double));
-    vo += nv;
-    foff_pre[k] = fp;
-    const i64 np = (i64)r.FIdx_pre.size();
-    std::memcpy(fuv_pre + 3 * fp, r.FUV_pre.data(), 3 * np * sizeof(i64));
-    std::memcpy(fidx_pre + fp, r.FIdx_pre.data(), np * sizeof(i64));
-    fp += np;
-    foff_post[k] = fq;
-    const i64 nq = (i64)r.FIdx_post.size();
-    std::memcpy(fuv_post + 3 * fq, r.FUV_post.data(), 3 * nq * sizeof(i64));
-    std::memcpy(fidx_post + fq, r.FIdx_post.data(), nq * sizeof(i64));
-    fq += nq;
-  }
-  voff[n] = vo;
-  foff_pre[n] = fp;
-  foff_post[n] = fq;
+  // the flat arena already holds the exact output layout
+  const ssp::FlatLogStore& L = R->log;
+  std::memcpy(b, L.b.data(), L.b.size() * sizeof(i64));
+  std::memcpy(voff, L.voff.data(), L.voff.size() * sizeof(i64));
+  std::memcpy(subset, L.subset.data(), L.subset.size() * sizeof(i64));
+  std::memcpy(uv_pre, L.uv_pre.data(), L.uv_pre.size() * sizeof(double));
+  std::memcpy(uv_post, L.uv_post.data(), L.uv_post.size() * sizeof(double));
+  std::memcpy(foff_pre, L.foff_pre.data(), L.foff_pre.size() * sizeof(i64));
+  std::memcpy(fuv_pre, L.fuv_pre.data(), L.fuv_pre.size() * sizeof(i64));
+  std::memcpy(fidx_pre, L.fidx_pre.data(), L.fidx_pre.size() * sizeof(i64));
+  std::memcpy(foff_post, L.foff_post.data(),
+              L.foff_post.size() * sizeof(i64));
+  std::memcpy(fuv_post, L.fuv_post.data(), L.fuv_post.size() * sizeof(i64));
+  std::memcpy(fidx_post, L.fidx_post.data(),
+              L.fidx_post.size() * sizeof(i64));
   i64 t = 0;
   for (i64 f = 0; f < R->nF_working; ++f) {
     dim_off[f] = t;
