@@ -56,6 +56,17 @@ def main():
     qd0 = jnp.zeros(3 * nv, dtype=stepper.dtype)
     out = {}
 
+    # assembly slope (block_vals = face Hessians + PSD projection + scatter)
+    def asm_chain(s, x0, K):
+        def body(i, x):
+            v = stepper._block_vals(s, x)
+            return x + 1e-30 * v[:, 0, 0].sum()
+        return jnp.sum(jax.lax.fori_loop(0, K, body, x0))
+
+    out["asm_psd_ms"] = round(
+        slope_time(jax.jit(asm_chain), (st, x_flat), 2, 8) * 1e3, 2)
+    print(f"asm_psd: {out['asm_psd_ms']} ms", flush=True)
+
     vals = stepper._block_vals(st, x_flat)
     g = -(st["Mdiag"] * qd0 + 1e-3 * fExt)
 

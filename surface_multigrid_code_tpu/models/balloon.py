@@ -388,7 +388,8 @@ class BsrBalloonStepper:
                  max_cycles: int = 20, cfg=None, dtype=None,
                  well: bool | None = None,
                  newton_unroll: bool | None = None,
-                 psd_project: bool = True):
+                 psd_project: bool = True,
+                 asm_w_cap: int = 4):
         import jax
         import jax.numpy as jnp
         from surface_multigrid_code_tpu.models.shell import (
@@ -464,9 +465,18 @@ class BsrBalloonStepper:
             opp = None if not shell.bending else shell.opp
         slots = csr_slot_map(solver.pattern_v, rows, cols)
         order = np.argsort(slots, kind="stable")
+        # Gather-plan width: off-diagonal vertex pairs receive exactly two
+        # face contributions on a closed manifold; narrow W + the sorted
+        # segment_sum tail beats the former W_cap=16 (which padded every
+        # row to the diagonal width) by ~5 ms/assembly at bunny_15K.
+        # The gather is ROW-count bound on TPU (~6.8 ns per gathered
+        # 3x3 row regardless of padding), so the win saturates at W=4
+        # (measured 25.2 / 25.6 / 30.0 ms full-assembly at W=4/2/16,
+        # probe_asm_wcap.py); the remaining ~12 ms is the irreducible
+        # per-row gather cost of this scatter formulation.
         gi, gw, ti, tw, ts = _ellize_segments(
             slots[order], order, np.ones(order.shape[0]),
-            order.shape[0], nnz, W_cap=16,
+            order.shape[0], nnz, W_cap=asm_w_cap,
         )
         diag_slots = csr_slot_map(
             solver.pattern_v, np.arange(nv), np.arange(nv))

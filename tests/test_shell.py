@@ -102,3 +102,34 @@ def test_run_balloon_bsr_matches_scalar(sphere):
     (p_sca,) = run_balloon(V, F, solver="scalar", **kw)
     scale = max(1.0, np.abs(p_sca - V).max())
     assert np.abs(p_bsr - p_sca).max() < 1e-6 * scale
+
+
+@pytest.mark.parametrize("material", ["neohookean", "stvk", "tension_field"])
+def test_structured_hessian_matches_autodiff(material):
+    # face_hessian_stretch (metric pullback: J' H_W J + sum g_k K_k) must
+    # equal jax.hessian of the same face energy to f64 roundoff
+    import jax
+    import jax.numpy as jnp
+
+    from surface_multigrid_code_tpu.models.shell import (
+        face_energy, face_hessian_stretch, first_fundamental_form)
+
+    rng = np.random.default_rng(3)
+    th, al, be = 1e-1, 2e5, 1e5
+    for _ in range(5):
+        x_rest = rng.standard_normal(9)
+        # non-degenerate rest triangle
+        x_rest[3:6] += np.array([1.0, 0, 0])
+        x_rest[6:9] += np.array([0, 1.0, 0])
+        abar = first_fundamental_form(jnp.asarray(x_rest))
+        x9 = jnp.asarray(x_rest + 0.1 * rng.standard_normal(9))
+
+        def fe(x):
+            return face_energy(x, abar, th, al, be, material)
+
+        H_ad = np.asarray(jax.hessian(fe)(x9))
+        H_st = np.asarray(
+            face_hessian_stretch(x9, abar, th, al, be, material)
+        )
+        scale = max(np.abs(H_ad).max(), 1.0)
+        assert np.abs(H_ad - H_st).max() < 1e-9 * scale
