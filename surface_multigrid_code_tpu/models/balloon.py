@@ -463,7 +463,44 @@ class BsrBalloonStepper:
             opp = None if not shell.bending else ip[shell.opp]
         else:
             opp = None if not shell.bending else shell.opp
+        # Windowed incidence-SpMV assembly (well mode, stretching-only):
+        # scattering face 3x3 entries into vertex-pair slots through the
+        # [nnz, W] ELL gather is row-count-bound (~12.5 ms/assembly at
+        # bunny_15K regardless of W — probe_asm_wcap.py), while the same
+        # linear map as a windowed SpMV of the ALL-ONES incidence
+        # operator (rows = pattern slots, cols = face entries) rides the
+        # select chain with the 9 block components batched as planes.
+        # Faces are reordered by their minimal permuted vertex id so the
+        # entry columns band with the slot rows.
+        self._asm_well = None
+        if solver.well and not shell.bending:
+            forder = np.argsort(F.min(axis=1), kind="stable")
+            F = F[forder]
+            eorder = (
+                9 * forder[:, None] + np.arange(9)[None, :]
+            ).reshape(-1)
+            rows = rows[eorder]
+            cols = cols[eorder]
         slots = csr_slot_map(solver.pattern_v, rows, cols)
+        if solver.well and not shell.bending:
+            from surface_multigrid_code_tpu.ops.well import (
+                _UNROLL_CAP,
+                build_well_auto,
+            )
+
+            nf9 = 9 * nf
+            A_inc = sp.coo_matrix(
+                (
+                    np.ones(nf9, dtype=np.float64),
+                    (slots, np.arange(nf9)),
+                ),
+                shape=(nnz, nf9),
+            ).tocsr()
+            # 9 component planes share one kernel: budget the unrolled
+            # body at cap/9 (see well_apply's multi-column fallback note)
+            self._asm_well = build_well_auto(
+                A_inc, dtype=dtype, cap=_UNROLL_CAP // 9
+            )
         order = np.argsort(slots, kind="stable")
         # Gather-plan width: off-diagonal vertex pairs receive exactly two
         # face contributions on a closed manifold; narrow W + the sorted
@@ -486,6 +523,9 @@ class BsrBalloonStepper:
             Mv = Mv[vperm]
             Mdiag = Mdiag[vperm]
 
+        abars = shell.abars
+        if self._asm_well is not None:
+            abars = abars[jnp.asarray(forder)]
         state = {
             "solver": solver._state,
             "asm_gather": jnp.asarray(gi),
@@ -494,9 +534,11 @@ class BsrBalloonStepper:
             "diag_slots": jnp.asarray(diag_slots),
             "Mv": jnp.asarray(Mv, dtype=dtype),
             "Mdiag": jnp.asarray(Mdiag.reshape(-1), dtype=dtype),
-            "abars": shell.abars.astype(dtype),
+            "abars": abars.astype(dtype),
             "F": jnp.asarray(F),
         }
+        if self._asm_well is not None:
+            state["asm_Ws"] = self._asm_well
         if shell.bending:
             state["opp"] = jnp.asarray(opp)
             state["mask"] = jnp.asarray(shell.mask)
@@ -541,15 +583,25 @@ class BsrBalloonStepper:
                     .reshape(nf * 36, 3, 3)
                 )
             e = dt * dt * jnp.concatenate(ent)
-            epad = jnp.concatenate(
-                [e, jnp.zeros((1, 3, 3), dtype=e.dtype)]
-            )
-            vals = epad[st["asm_gather"]].sum(axis=1)
-            if st["asm_tail_idx"].shape[0]:
-                vals = vals + jax.ops.segment_sum(
-                    epad[st["asm_tail_idx"]], st["asm_tail_seg"],
-                    num_segments=nnz, indices_are_sorted=True,
+            if "asm_Ws" in st:
+                # windowed incidence SpMV: the 9 block components ride
+                # one planes kernel over the all-ones operator (face
+                # entries are pre-ordered so columns band with rows)
+                from surface_multigrid_code_tpu.ops.well import well_apply
+
+                xp = e.reshape(-1, 9).T  # [9, nf9]
+                y = well_apply(st["asm_Ws"], xp)  # [9, nnz]
+                vals = y.T.reshape(nnz, 3, 3).astype(e.dtype)
+            else:
+                epad = jnp.concatenate(
+                    [e, jnp.zeros((1, 3, 3), dtype=e.dtype)]
                 )
+                vals = epad[st["asm_gather"]].sum(axis=1)
+                if st["asm_tail_idx"].shape[0]:
+                    vals = vals + jax.ops.segment_sum(
+                        epad[st["asm_tail_idx"]], st["asm_tail_seg"],
+                        num_segments=nnz, indices_are_sorted=True,
+                    )
             eye3 = jnp.eye(3, dtype=vals.dtype)
             return vals.at[st["diag_slots"]].add(
                 st["Mv"][:, None, None] * eye3

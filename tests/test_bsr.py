@@ -174,3 +174,26 @@ def test_bsr_stepper_well_matches_gather():
                                rtol=0, atol=1e-12)
     np.testing.assert_allclose(np.asarray(q1), np.asarray(q0),
                                rtol=0, atol=1e-9)
+
+
+def test_bsr_stepper_incidence_assembly_matches_gather():
+    """Stretching-only well stepper routes assembly through the windowed
+    incidence-SpMV (models/balloon.py asm_Ws: all-ones operator, 9 block
+    components as planes); the step must match the ELL-gather assembly
+    of the well=False stepper to f64 rounding (summation orders differ:
+    window accumulation + face reordering vs ELL + sorted tail)."""
+    V, F, shell, M, fExt = setup()  # bending=False
+    mg_v = mg_precompute(V, F, min_coarsest_nv=60, verbose=False)
+    qd0 = np.zeros(3 * V.shape[0])
+    s0 = BsrBalloonStepper(shell, M, mg_v, 1e-3, n_newton=2, well=False,
+                           dtype=jnp.float64)
+    s1 = BsrBalloonStepper(shell, M, mg_v, 1e-3, n_newton=2, well=True,
+                           dtype=jnp.float64)
+    assert s1._asm_well is not None  # incidence path actually active
+    assert s0._asm_well is None
+    p0, q0 = s0.step(V.copy(), qd0, fExt)
+    p1, q1 = s1.step(V.copy(), qd0, fExt)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p0),
+                               rtol=0, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(q1), np.asarray(q0),
+                               rtol=0, atol=1e-8)
