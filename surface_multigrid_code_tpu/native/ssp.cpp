@@ -77,7 +77,12 @@ struct PhaseProf {
                     names[k], t[k], 100.0 * t[k] / tot, n[k]);
   }
 };
-static PhaseProf g_prof;
+// thread_local: ctypes releases the GIL during foreign calls, so two
+// Python threads may run ssp_decimate concurrently; per-thread state
+// keeps the profiler (and the thread_local scratch below) race-free.
+// Each thread still runs at most one decimate at a time (the scratch
+// vectors are per-thread, not per-call) - see the C API note.
+static thread_local PhaseProf g_prof;
 
 // ---------------------------------------------------------------------------
 // collapse log — flat CSR arena.  Records append directly into the
@@ -538,8 +543,12 @@ static Result* run_decimate(const double* Vin, i64 nV, const i64* Fin, i64 nF,
   {
     // est_n is deliberately ~the collapse count, not its 2x upper bound:
     // overshoot is prefaulted (paid) memory on this VM, and vectors that
-    // outgrow it just demand-fault their tail.
-    const i64 est_n = std::max<i64>(16, (nF - tarF) * 5 / 8);
+    // outgrow it just demand-fault their tail.  Boundary collapses kill
+    // only ~1 real face each (+1 virtual), so scale by the measured
+    // virtual-face fraction: mean real faces/collapse ~ 2*nF/(nF+nVirt).
+    const i64 nVirt = (i64)M.nF() - nF;
+    const i64 est_n = std::max<i64>(
+        16, (nF - tarF) * 5 * (nF + nVirt) / (8 * std::max<i64>(1, nF)));
     reserve_prefault(R->log.b, 2 * est_n);
     reserve_prefault(R->log.voff, est_n + 1);
     reserve_prefault(R->log.subset, 15 * est_n);
@@ -812,6 +821,10 @@ extern "C" {
 
 using ssp::i64;
 
+// Thread-safety: calls from DIFFERENT Python threads are safe (profiler
+// and scratch are thread_local); nesting/re-entering ssp_decimate on the
+// SAME thread (e.g. from a signal handler) is not supported - the
+// thread_local scratch vectors are per-thread, not per-call.
 void* ssp_decimate(const double* V, i64 nV, const i64* F, i64 nF, i64 tarF,
                    int dec_type, int use_random, uint64_t seed, int verbose) {
   return (void*)ssp::run_decimate(V, nV, F, nF, tarF, dec_type, use_random,

@@ -90,6 +90,12 @@ def ns_sign_apply_packed(Xp: jnp.ndarray, schedule=NS_SCHEDULE,
     from jax.experimental import pallas as pl
 
     interpret = interpret or jax.default_backend() == "cpu"
+    if Xp.dtype != jnp.float32:
+        raise TypeError(
+            "ns_sign_apply_packed requires float32 input (the accelerated "
+            f"NS schedule amplifies input rounding; got {Xp.dtype}).  For "
+            "f64 use ns_sign_apply_packed_xla."
+        )
     g = Xp.shape[0]
     gp = -(-g // _T) * _T
     if gp != g:

@@ -1276,6 +1276,7 @@ def _well_spmv_block3_impl(W: WellMatrix, xp: jnp.ndarray, dats: tuple,
 
     ex_in = ()
     ex_kinds = ()
+    has_acc = acc is not None
     if acc is not None:
         ex_in += (_plane_tiles(acc, nb).astype(dats[0].dtype),)
         ex_kinds += ("p",)
@@ -1363,7 +1364,7 @@ def _well_spmv_block3_impl(W: WellMatrix, xp: jnp.ndarray, dats: tuple,
                         t = jnp.take_along_axis(row_b, lok, axis=1)
                         gs[c] = jnp.where(mask, t, gs[c])
                 accs = contract(accs, gs, dat_refs, k)
-            _apply_epi_planes(accs, ex, ex_kinds, epi, escale, y_ref)
+            _apply_epi_planes(accs, ex, ex_kinds, epi, escale, y_ref, has_acc)
 
         y3d = pl.pallas_call(
             tap_kernel,
@@ -1444,7 +1445,7 @@ def _well_spmv_block3_impl(W: WellMatrix, xp: jnp.ndarray, dats: tuple,
                         t = jnp.take_along_axis(tile_d, lok, axis=1)
                         gs[c] = jnp.where(mask, t, gs[c])
                 accs = contract(accs, gs, dat_refs, k)
-            _apply_epi_planes(accs, ex, ex_kinds, epi, escale, y_ref)
+            _apply_epi_planes(accs, ex, ex_kinds, epi, escale, y_ref, has_acc)
 
         y3d = pl.pallas_call(
             dia_kernel,
@@ -1520,7 +1521,7 @@ def _well_spmv_block3_impl(W: WellMatrix, xp: jnp.ndarray, dats: tuple,
                     ),
                 ))
             accs = contract(accs, gs, dat_refs, k)
-        _apply_epi_planes(accs, ex, ex_kinds, epi, escale, y_ref)
+        _apply_epi_planes(accs, ex, ex_kinds, epi, escale, y_ref, has_acc)
 
     y3d = pl.pallas_call(
         kernel,
@@ -1560,14 +1561,15 @@ def well_block3_apply(Ws, xp: jnp.ndarray, dats_groups, acc=None,
     )
 
 
-def _apply_epi_planes(accs, ex, ex_kinds, epi, escale, y_ref):
+def _apply_epi_planes(accs, ex, ex_kinds, epi, escale, y_ref, has_acc):
     """Planes-mode epilogue: accs is a list of C [SUB, LANE] accumulators;
     ex are the extra operand refs in order, each percol [C, SUB, LANE]
     ("p") or column-shared [SUB, LANE] ("s") per ex_kinds. A leading "p"
-    acc input (chained partial sums) is folded in first."""
+    acc input (chained partial sums) is folded in first; has_acc is the
+    builder's explicit `acc is not None` (never inferred from arity —
+    the scalar and block3 kinds tables only coincidentally agree)."""
     C = len(accs)
-    n_epi = len(_EPI_KINDS[epi])
-    if len(ex) > n_epi:                       # leading percol acc input
+    if has_acc:                               # leading percol acc input
         accs = [a + ex[0][c, :, :] for c, a in enumerate(accs)]
         ex = ex[1:]
         ex_kinds = ex_kinds[1:]
@@ -1640,6 +1642,7 @@ def _well_spmv_planes_impl(W: WellMatrix, xp: jnp.ndarray, unpadded: bool,
 
     ex_in = ()
     ex_kinds = ()
+    has_acc = acc is not None
     if acc is not None:
         ex_in += (_plane_tiles(acc, nb).astype(W.dat.dtype),)
         ex_kinds += ("p",)
@@ -1731,7 +1734,7 @@ def _well_spmv_planes_impl(W: WellMatrix, xp: jnp.ndarray, unpadded: bool,
                             t = jnp.take_along_axis(tile, lok, axis=1)
                             gs[c] = jnp.where(mask, t, gs[c])
                 accs = [a + datk * g for a, g in zip(accs, gs)]
-            _apply_epi_planes(accs, ex, ex_kinds, epi, escale, y_ref)
+            _apply_epi_planes(accs, ex, ex_kinds, epi, escale, y_ref, has_acc)
 
         y3d = pl.pallas_call(
             diaq_kernel,
@@ -1812,7 +1815,7 @@ def _well_spmv_planes_impl(W: WellMatrix, xp: jnp.ndarray, unpadded: bool,
                         t = jnp.take_along_axis(tile_d, lok, axis=1)
                         gs[c] = jnp.where(mask, t, gs[c])
                 accs = [a + datk * g for a, g in zip(accs, gs)]
-            _apply_epi_planes(accs, ex, ex_kinds, epi, escale, y_ref)
+            _apply_epi_planes(accs, ex, ex_kinds, epi, escale, y_ref, has_acc)
 
         y3d = pl.pallas_call(
             dia_kernel,
@@ -1878,7 +1881,7 @@ def _well_spmv_planes_impl(W: WellMatrix, xp: jnp.ndarray, unpadded: bool,
                         t = jnp.take_along_axis(row_b, lok, axis=1)
                         gs[c] = jnp.where(mask, t, gs[c])
                 accs = [a + datk * g for a, g in zip(accs, gs)]
-            _apply_epi_planes(accs, ex, ex_kinds, epi, escale, y_ref)
+            _apply_epi_planes(accs, ex, ex_kinds, epi, escale, y_ref, has_acc)
 
         y3d = pl.pallas_call(
             tap_kernel,
@@ -1956,7 +1959,7 @@ def _well_spmv_planes_impl(W: WellMatrix, xp: jnp.ndarray, unpadded: bool,
                     ),
                 )
             accs = [a + datk * g for a, g in zip(accs, gs)]
-        _apply_epi_planes(accs, ex, ex_kinds, epi, escale, y_ref)
+        _apply_epi_planes(accs, ex, ex_kinds, epi, escale, y_ref, has_acc)
 
     y3d = pl.pallas_call(
         kernel,

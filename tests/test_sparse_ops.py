@@ -75,7 +75,7 @@ def gs_reference_sweep(A, diag, color, b, u):
     for c in range(color.max() + 1):
         for i in np.nonzero(color == c)[0]:
             row = A.getrow(i)
-            s = row @ u - diag[i] * u[i]
+            s = (row @ u)[0] - diag[i] * u[i]
             u[i] = (b[i] - s) / diag[i]
     return u
 
