@@ -473,6 +473,7 @@ class BsrBalloonStepper:
         # Faces are reordered by their minimal permuted vertex id so the
         # entry columns band with the slot rows.
         self._asm_well = None
+        self._gather_well = None
         if solver.well and not shell.bending:
             forder = np.argsort(F.min(axis=1), kind="stable")
             F = F[forder]
@@ -500,6 +501,22 @@ class BsrBalloonStepper:
             # body at cap/9 (see well_apply's multi-column fallback note)
             self._asm_well = build_well_auto(
                 A_inc, dtype=dtype, cap=_UNROLL_CAP // 9
+            )
+            # Corner-gather operator: row 3f+c selects permuted vertex
+            # F[f, c], so ONE windowed planes SpMV replaces the serial
+            # XLA x[F] gather (~6.8 ns/element) in the per-trial
+            # line-search energies and the assembly's face states.
+            # Faces are already ordered by min vertex id, so the
+            # selection columns band with the rows.
+            G_sel = sp.coo_matrix(
+                (
+                    np.ones(3 * nf, dtype=np.float64),
+                    (np.arange(3 * nf), F.reshape(-1)),
+                ),
+                shape=(3 * nf, nv),
+            ).tocsr()
+            self._gather_well = build_well_auto(
+                G_sel, dtype=dtype, cap=_UNROLL_CAP // 3
             )
         order = np.argsort(slots, kind="stable")
         # Gather-plan width: off-diagonal vertex pairs receive exactly two
@@ -539,6 +556,8 @@ class BsrBalloonStepper:
         }
         if self._asm_well is not None:
             state["asm_Ws"] = self._asm_well
+        if self._gather_well is not None:
+            state["gat_Ws"] = self._gather_well
         if shell.bending:
             state["opp"] = jnp.asarray(opp)
             state["mask"] = jnp.asarray(shell.mask)
@@ -560,10 +579,26 @@ class BsrBalloonStepper:
         grad_e = jax.grad(energy, argnums=1)
         val_grad_e = jax.value_and_grad(energy, argnums=1)
 
+        def face9(st, v_flat):
+            """[nv*3] -> [nf, 9] per-face corner states.  Windowed
+            corner-gather when available (one planes kernel; XLA CSEs
+            duplicate calls on the same operand), XLA gather otherwise."""
+            if "gat_Ws" in st:
+                from surface_multigrid_code_tpu.ops.well import well_apply
+
+                out = well_apply(st["gat_Ws"], v_flat.reshape(-1, 3).T)
+                return (
+                    out.reshape(3, nf, 3)
+                    .transpose(1, 2, 0)
+                    .reshape(nf, 9)
+                    .astype(v_flat.dtype)
+                )
+            return v_flat.reshape(-1, 3)[st["F"]].reshape(nf, 9)
+
         def block_vals(st, x_flat):
             """dt^2 K + M as [nnz_v, 3, 3] blocks (gather-only assembly)."""
             xv = x_flat.reshape(-1, 3)
-            x9 = xv[st["F"]].reshape(-1, 9)
+            x9 = face9(st, x_flat)
             H9 = proj(shell._face_hess(x9, st["abars"]))  # [nf, 9, 9]
             ent = [
                 H9.reshape(nf, 3, 3, 3, 3)
@@ -636,18 +671,12 @@ class BsrBalloonStepper:
 
             lam0 = None
 
-            def total_energy(qdot):
-                dq = qdot - qdot0
-                Ek = 0.5 * (dq * Md * dq).sum()
-                newPos = curPos0.reshape(-1) + dt * qdot
-                return Ek + (newPos * fExt).sum() + energy(st, newPos)
-
             def newton(i, carry):
                 qdot, _, nrej = carry
                 x = curPos0.reshape(-1) + dt * qdot
-                # one pass: the elastic energy at x IS total_energy(qdot)'s
-                # expensive term (newPos == x), so value_and_grad yields
-                # the Newton gradient AND the line-search f0 together
+                # one pass: the elastic energy at x IS the line search's
+                # f0 (newPos == x), so value_and_grad yields the Newton
+                # gradient AND the Armijo reference together
                 Ev0, G = val_grad_e(st, x)
                 vals = block_vals(st, x)
                 g = -(Md * (qdot - qdot0) + dt * G + dt * fExt)
@@ -661,13 +690,54 @@ class BsrBalloonStepper:
                 f0 = 0.5 * (dq * Md * dq).sum() + (x * fExt).sum() + Ev0
                 s = f0 + 1e-8 * (g * dx).sum()
 
+                # Line-search energies on the 1-D line x + (alpha*dt)*dx:
+                # gather the face corner states of x and dx ONCE (the x9
+                # gather CSEs with block_vals'), so each backtracking
+                # trial is pure per-face flops — no per-trial gather
+                # (the vmapped face-energy pass was gather-bound at
+                # ~6.8 ns/element; reference backtracking semantics
+                # sim_utils/implicit_euler_mg_balloon.h:80-114 unchanged)
+                from surface_multigrid_code_tpu.models.shell import (
+                    face_bending_energy,
+                    face_energy,
+                )
+
+                x9 = face9(st, x)
+                d9 = face9(st, dx)
+                if shell.bending:
+                    xo9 = x.reshape(-1, 3)[st["opp"]].reshape(nf, 9)
+                    do9 = dx.reshape(-1, 3)[st["opp"]].reshape(nf, 9)
+
+                def line_energy(alpha):
+                    qd = qdot + alpha * dx
+                    dqa = qd - qdot0
+                    Ek = 0.5 * (dqa * Md * dqa).sum()
+                    newPos = curPos0.reshape(-1) + dt * qd
+                    ad = alpha * dt
+                    e9 = x9 + ad * d9
+                    ev = jax.vmap(
+                        lambda a, b: face_energy(
+                            a, b, shell.thickness, shell.alpha,
+                            shell.beta, shell.material,
+                        )
+                    )(e9, st["abars"]).sum()
+                    if shell.bending:
+                        e18 = jnp.concatenate([e9, xo9 + ad * do9], axis=1)
+                        ev = ev + jax.vmap(
+                            lambda a, b, c, m: face_bending_energy(
+                                a, b, c, m, shell.thickness, shell.alpha,
+                                shell.beta, shell.material,
+                            )
+                        )(e18, st["abars"], st["bbars"], st["mask"]).sum()
+                    return Ek + (newPos * fExt).sum() + ev
+
                 def ls_cond(c):
                     alpha, found = c
                     return jnp.logical_and(~found, alpha > 1e-8)
 
                 def ls_body(c):
                     alpha, _ = c
-                    ok = total_energy(qdot + alpha * dx) <= s
+                    ok = line_energy(alpha) <= s
                     return (jnp.where(ok, alpha, alpha * 0.5), ok)
 
                 alpha, found = jax.lax.while_loop(

