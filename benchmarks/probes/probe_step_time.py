@@ -16,7 +16,7 @@ sys.path.insert(0, ".")
 import numpy as np
 
 
-def main(well="1", mesh="bunny_15K_init", scale="1e6"):
+def main(well="1", mesh="bunny_15K_init", scale="1e6", nc="500"):
     import jax, jax.numpy as jnp
     from surface_multigrid_code_tpu.models.balloon import (
         BsrBalloonStepper, lumped_mass_matrix, vertex_normals)
@@ -34,7 +34,8 @@ def main(well="1", mesh="bunny_15K_init", scale="1e6"):
     al, be = lame_parameters(6e6, 0.5 - 1e-3)
     shell = ShellEnergy(V, F, 1e-1, al, be, "neohookean")
     M = 1000.0 * lumped_mass_matrix(V, F)
-    mg = mg_precompute(V, F, verbose=False)
+    mg = mg_precompute(V, F, min_coarsest_nv=int(nc), verbose=False)
+    print("levels:", [mg[l].V.shape[0] for l in range(len(mg))], flush=True)
     stepper = BsrBalloonStepper(shell, M, mg, 1e-3, mg_tolerance=2e-1,
                                 well=well)
     nv = V.shape[0]

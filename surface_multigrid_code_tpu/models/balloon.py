@@ -389,7 +389,8 @@ class BsrBalloonStepper:
                  well: bool | None = None,
                  newton_unroll: bool | None = None,
                  psd_project: bool = True,
-                 asm_w_cap: int = 4):
+                 asm_w_cap: int = 4,
+                 coarsest_nv: int | None = None):
         import jax
         import jax.numpy as jnp
         from surface_multigrid_code_tpu.models.shell import (
@@ -399,6 +400,23 @@ class BsrBalloonStepper:
             BsrRefreshableSolver,
             bsr_solve_loop,
         )
+        from surface_multigrid_code_tpu.solver.hierarchy import (
+            extend_hierarchy,
+        )
+
+        # TPU-native hierarchy depth: the per-Newton refresh pays a dense
+        # Cholesky INVERSE of the coarsest operator, so on accelerator
+        # backends the reference's >500-vertex stopping rule
+        # (src/mg_precompute.cpp:94) leaves ~4 ms/Newton on the table —
+        # extend the given hierarchy down to ~coarsest_nv vertices
+        # (bunny_15K step 386 -> 288 ms, end state parity ~1e-6 rel;
+        # see solver/hierarchy.extend_hierarchy).  coarsest_nv=0 opts
+        # out; on CPU (f64 tests, reference-semantics runs) the given
+        # hierarchy is used as-is unless coarsest_nv is passed.
+        if coarsest_nv is None:
+            coarsest_nv = 40 if jax.default_backend() != "cpu" else 0
+        if coarsest_nv:
+            mg = extend_hierarchy(mg, min_coarsest_nv=coarsest_nv)
 
         proj = psd_project_blocks if psd_project else (lambda h: h)
         from surface_multigrid_code_tpu.solver.galerkin import _ellize_segments

@@ -184,6 +184,49 @@ def mg_precompute(
     return out
 
 
+def extend_hierarchy(
+    mg: list[MGLevel],
+    ratio: float = 0.25,
+    min_coarsest_nv: int = 40,
+    dec_type: DecimationType = DecimationType.MIDPOINT,
+    block: bool = False,
+    verbose: bool = False,
+    seed: int | None = None,
+) -> list[MGLevel]:
+    """Continue decimation below an existing hierarchy's coarsest level,
+    applying the reference level-count rule (src/mg_precompute.cpp:27-40)
+    from the current coarsest mesh downward.
+
+    TPU-native rationale: the reference stops at >500 coarsest vertices
+    because its coarse direct solve (SimplicialLDLT,
+    src/min_quad_with_fixed_mg.cpp:236-256) is cheap on CPU.  On TPU the
+    per-refresh dense Cholesky INVERSE of the coarsest operator is the
+    single most expensive refresh component (4.2 ms at 3nc=2964, round-2
+    measurement), so steppers that refresh every Newton iteration push
+    the hierarchy deeper: two more levels cut the bunny_15K balloon step
+    from 386 to 288 ms/step with end-state parity to ~1e-6 rel
+    (round 5, probe_step_time.py).  Returns a NEW list; `mg` is not
+    mutated and its level records are shared."""
+    out = list(mg)
+    while out[-1].V.shape[0] * ratio > min_coarsest_nv:
+        tarF = int(round(out[-1].F.shape[0] * ratio))
+        if verbose:
+            print(f"extend lv: {len(out)}, tarF: {tarF}")
+        build = get_prolong_block if block else get_prolong
+        try:
+            Vc, Fc, P, _, _, _ = build(
+                out[-1].V, out[-1].F, tarF, dec_type, seed=seed
+            )
+        except Exception as e:  # decimation gave up (tiny/degenerate)
+            if verbose:
+                print(f"extend stopped at lv {len(out)}: {e}")
+            break
+        if Vc.shape[0] >= out[-1].V.shape[0]:
+            break
+        out.append(MGLevel(V=Vc, F=Fc, P_full=P, P=P, PT=P.T.tocsr()))
+    return out
+
+
 def save_hierarchy(path, mg: list[MGLevel]) -> None:
     """Serialize a hierarchy (per-level V/F + CSR prolongations) to npz —
     the checkpoint the reference never persists (SURVEY.md §5.4); the

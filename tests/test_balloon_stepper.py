@@ -168,3 +168,36 @@ def test_bsr_stepper_long_horizon_finite():
     assert max(disps) > 5 * disps[0]
     # no more than a couple of rejected Newton iterations over 250
     assert rejects <= 5
+
+
+def test_extend_hierarchy_deepens_and_matches():
+    """extend_hierarchy continues the reference level rule below the
+    given coarsest (TPU-native coarse-solve depth; the stepper's
+    coarsest_nv knob routes through it) without perturbing the original
+    levels, and the deepened stepper reproduces the default-depth
+    trajectory to solver tolerance."""
+    import numpy as np
+    from surface_multigrid_code_tpu.models.balloon import BsrBalloonStepper
+    from surface_multigrid_code_tpu.solver.hierarchy import extend_hierarchy
+
+    V, F, shell, M, mg, fExt = setup()
+    mg2 = extend_hierarchy(mg, min_coarsest_nv=20)
+    assert len(mg2) > len(mg)
+    assert mg2[len(mg) - 1] is mg[-1]  # shared records, not copies
+    assert mg2[-1].V.shape[0] < mg[-1].V.shape[0]
+    # prolongation rows stay convex barycentric
+    P = mg2[-1].P_full
+    assert P.shape[0] == mg2[-2].V.shape[0]
+    rs = np.asarray(P.sum(axis=1)).ravel()
+    assert np.allclose(rs, 1.0, atol=1e-12)
+    assert P.data.min() >= -1e-12
+
+    qdot0 = np.zeros(3 * V.shape[0])
+    s_ref = BsrBalloonStepper(shell, M, mg, 1e-3, mg_tolerance=1e-8,
+                              n_newton=3, coarsest_nv=0)
+    s_deep = BsrBalloonStepper(shell, M, mg, 1e-3, mg_tolerance=1e-8,
+                               n_newton=3, coarsest_nv=20)
+    p1, _ = s_ref.step(V.copy(), qdot0, fExt)
+    p2, _ = s_deep.step(V.copy(), qdot0, fExt)
+    scale = max(1.0, np.abs(p1 - V).max())
+    assert np.abs(p1 - p2).max() < 1e-6 * scale
