@@ -42,6 +42,20 @@ import numpy as np
 # at its hardware floor.
 _FLOOR_NS_PER_CHAIN_ITER = 2.645
 
+# VMEM-regime overhead terms (round-5 decomposition, BASELINE.md "The
+# small-scale floor"): each Pallas grid step pays ~160 ns of
+# setup/semaphore bubble (measured marginal per-block cost on the ico7
+# bench operators, probe_vmem_scaling.py: 158.6/181.8 ns on the two
+# statistically reliable big-nb ops; synthetic band sweeps measure
+# 290-390 ns on 7-tap layouts, probe_block_overhead.py — the smaller
+# calibration is used so the floor stays a lower bound), and each kernel
+# launch ~0.92 us (tiny-kernel slope, probe_vmem_floor.py).  These are
+# EXPOSED when the working set is VMEM-resident; in the HBM regime the
+# same bubbles overlap with the streaming DMA waits (ico9 matches the
+# pure chain floor), so the HBM floor keeps only the chain term.
+_BLOCK_OVERHEAD_NS = 160.0
+_LAUNCH_OVERHEAD_US = 0.92
+
 
 def _chain_iters_per_cycle(hier) -> int:
     """Select-chain block-iterations one V-cycle executes on the windowed
@@ -67,6 +81,45 @@ def _chain_iters_per_cycle(hier) -> int:
         if lev.Pw is not None:
             it += per_apply(lev.Pw)
     return it
+
+
+def _vmem_floor_ms(hier) -> dict:
+    """Launch-inclusive small-scale floor (BASELINE.md round-5 section):
+    chain iters x 2.645 ns  (incl. the solve_loop convergence-check
+    A-apply — a 6th fine-level apply the 5-apply model never counted)
+    + grid steps x 160 ns + kernel launches x 0.92 us."""
+
+    def op_stats(W):
+        gs = W if isinstance(W, tuple) else (W,)
+        chain = sum(
+            g.nb * (sum(g.ht) if g.ht is not None else g.w * g.H)
+            for g in gs
+        )
+        return chain, sum(g.nb for g in gs), len(gs)
+
+    chain = blocks = launches = 0
+    L = len(hier.levels)
+    for lv, lev in enumerate(hier.levels):
+        na = 0
+        if lev.Aw is not None and lv < L - 1:
+            na = 6 if lv == 0 else 5  # 2+2 sweeps + resid (+conv check)
+        for W, n_app in ((lev.Aw, na), (lev.PTw, 1), (lev.Pw, 1)):
+            if W is None or n_app == 0:
+                continue
+            c, b, g = op_stats(W)
+            chain += n_app * c
+            blocks += n_app * b
+            launches += n_app * g
+    floor = (
+        chain * _FLOOR_NS_PER_CHAIN_ITER
+        + blocks * _BLOCK_OVERHEAD_NS
+    ) / 1e6 + launches * _LAUNCH_OVERHEAD_US / 1e3
+    return {
+        "chain_iters": int(chain),
+        "grid_steps": int(blocks),
+        "launches": int(launches),
+        "floor_ms": floor,
+    }
 
 
 def _nnz_per_cycle(mg) -> int:
@@ -292,11 +345,21 @@ def main():
         "residual_reduction_per_cycle": round(float(resid_rate), 4),
     }
     if data.hier.levels[0].Aw is not None:
-        chain7 = _chain_iters_per_cycle(data.hier)
-        floor7_ms = chain7 * _FLOOR_NS_PER_CHAIN_ITER / 1e6
-        vmem_detail["chain_iters_per_cycle"] = int(chain7)
-        vmem_detail["floor_vcycle_ms"] = round(floor7_ms, 3)
-        vmem_detail["vs_floor"] = round(floor7_ms / (t_cycle * 1e3), 4)
+        fl = _vmem_floor_ms(data.hier)
+        vmem_detail["chain_iters_per_cycle"] = fl["chain_iters"]
+        vmem_detail["grid_steps_per_cycle"] = fl["grid_steps"]
+        vmem_detail["launches_per_cycle"] = fl["launches"]
+        vmem_detail["floor_vcycle_ms"] = round(fl["floor_ms"], 3)
+        vmem_detail["vs_floor"] = round(
+            fl["floor_ms"] / (t_cycle * 1e3), 4
+        )
+        vmem_detail["floor_model"] = (
+            "chain x 2.645 ns (incl. the convergence-check A-apply)"
+            " + grid steps x 160 ns + launches x 0.92 us; overhead terms"
+            " are exposed only when VMEM-resident (BASELINE.md round-5"
+            " small-scale floor; probes probe_vmem_floor/_scaling/"
+            "_block_overhead)"
+        )
     if hbm is not None and "nnz_per_s" in hbm:
         value = hbm.pop("nnz_per_s")
         regime = "hbm_bound"
