@@ -23,7 +23,9 @@ if __name__ == "__main__":
             int(sys.argv[4]),
         )
     elif len(sys.argv) == 1:
-        mesh, tarF, nsub, seed = "bunny", 500, 2, 10
+        # reference 09_random_subdiv_remesh commits output_s0..s3 (its
+        # main.cpp:288 was run with 3 subdivisions) - match that depth
+        mesh, tarF, nsub, seed = "bunny", 500, 3, 10
     else:
         raise SystemExit(
             "usage: ex09_random_subdiv_remesh.py [mesh] [tarF] [nsubdiv] [seed]"

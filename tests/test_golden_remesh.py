@@ -34,10 +34,10 @@ def _remesh(dec_type, seed, tarF=500, nsub=2):
 
 
 @pytest.mark.parametrize(
-    "tag,dec_type,seed",
-    [("ex08", 1, None), ("ex09", 0, 10)],
+    "tag,dec_type,seed,nsub",
+    [("ex08", 1, None, 2), ("ex09", 0, 10, 3)],
 )
-def test_golden_remesh_regenerate(tag, dec_type, seed):
+def test_golden_remesh_regenerate(tag, dec_type, seed, nsub):
     """Our own committed golden artifacts (data/golden/, the analog of the
     reference's committed 08_subdiv_remesh/output_s{0,1,2}.obj): regenerate
     the ex08/ex09 subdivision remeshes and compare — exact on connectivity,
@@ -45,7 +45,7 @@ def test_golden_remesh_regenerate(tag, dec_type, seed):
     host code; the tolerance only absorbs FP reassociation)."""
     from surface_multigrid_code_tpu.utils.obj_io import read_obj
 
-    SV, faces = _remesh(dec_type, seed)
+    SV, faces = _remesh(dec_type, seed, nsub=nsub)
     for it, Fk in enumerate(faces):
         Vg, Fg = read_obj(str(GOLDEN / f"{tag}_output_s{it}.obj"))
         Vr = SV[: Fk.max() + 1]
@@ -91,4 +91,35 @@ def test_subdiv_remesh_matches_reference_statistics(tmp_path):
     assert abs(d_ours.mean() - d_ref.mean()) < 0.05
     assert d_ours.max() < d_ref.max() + 0.25
     # and our points are genuinely on the surface
+    assert d_ours.max() < 1.0
+
+
+@pytest.mark.skipif(not REFERENCE.exists(), reason="reference not mounted")
+def test_random_subdiv_remesh_matches_reference_s3_statistics():
+    """ex09 at the reference's committed depth: the reference ships
+    output_s0..s3 from 09_random_subdiv_remesh (its main.cpp:288 was run
+    with 3 subdivisions).  RNG streams differ, so the comparison is the
+    same as ex08's: identical vertex budget (same tarF + subdivision
+    rule) and matching surface-distance statistics on the deepest
+    committed artifact."""
+    from surface_multigrid_code_tpu.utils.obj_io import read_obj
+    from surface_multigrid_code_tpu.utils.paths import mesh_path
+
+    SV, faces = _remesh(dec_type=0, seed=10, nsub=3)
+    VO, _FO = read_obj(mesh_path("bunny"))
+    ref, refF = read_obj(
+        str(REFERENCE / "09_random_subdiv_remesh" / "output_s3.obj")
+    )
+    Fk = faces[3]
+    Vr = SV[: Fk.max() + 1]
+    # RNG streams differ, so the random collapse loop may stop one
+    # collapse apart (ours 499 coarse faces vs the reference's 500: a
+    # final interior collapse removes two faces) - budgets match to <1%
+    assert abs(Vr.shape[0] - ref.shape[0]) <= 0.01 * ref.shape[0]
+    assert abs(Fk.shape[0] - refF.shape[0]) <= 0.01 * refF.shape[0]
+    edge = np.linalg.norm(VO[_FO[:, 0]] - VO[_FO[:, 1]], axis=1).mean()
+    d_ours = nearest_dist(Vr, VO) / edge
+    d_ref = nearest_dist(ref, VO) / edge
+    assert abs(d_ours.mean() - d_ref.mean()) < 0.05
+    assert d_ours.max() < d_ref.max() + 0.25
     assert d_ours.max() < 1.0
