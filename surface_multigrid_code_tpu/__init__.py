@@ -29,12 +29,17 @@ from surface_multigrid_code_tpu.config import (
     DecimationType,
 )
 from surface_multigrid_code_tpu.solver.hierarchy import (
+    extend_hierarchy,
     get_prolong,
     get_prolong_block,
     load_hierarchy,
     mg_precompute,
     mg_precompute_block,
     save_hierarchy,
+)
+from surface_multigrid_code_tpu.solver.serialize import (
+    load_device_hierarchy,
+    save_device_hierarchy,
 )
 from surface_multigrid_code_tpu.solver.refresh import RefreshableMGSolver
 from surface_multigrid_code_tpu.solver.mqwf_mg import (
@@ -65,4 +70,7 @@ __all__ = [
     "query_coarse_to_fine",
     "save_hierarchy",
     "load_hierarchy",
+    "extend_hierarchy",
+    "save_device_hierarchy",
+    "load_device_hierarchy",
 ]
