@@ -57,20 +57,23 @@ _BLOCK_OVERHEAD_NS = 160.0
 _LAUNCH_OVERHEAD_US = 0.92
 
 
+def _per_apply_chain(W) -> int:
+    """Select-chain block-iterations of ONE apply of a windowed operator
+    (sum over its slot groups of nb x sum(per-tap spans ht), or
+    nb x w x H for legacy whole-block windows).  Single source of the
+    chain-cost formula for both floor models."""
+    total = 0
+    for g in W if isinstance(W, tuple) else (W,):
+        chain = sum(g.ht) if g.ht is not None else g.w * g.H
+        total += g.nb * chain
+    return total
+
+
 def _chain_iters_per_cycle(hier) -> int:
     """Select-chain block-iterations one V-cycle executes on the windowed
     kernels: per non-coarsest level 5 A applies (2+2 Jacobi sweeps + the
-    residual, SURVEY.md §3.3), plus one PT and one P apply per transfer.
-    Per apply: nb blocks x sum(per-tap spans ht) (tap/dia layouts) or
-    nb x w x H (legacy whole-block windows)."""
-
-    def per_apply(W):
-        total = 0
-        for g in W if isinstance(W, tuple) else (W,):
-            chain = sum(g.ht) if g.ht is not None else g.w * g.H
-            total += g.nb * chain
-        return total
-
+    residual, SURVEY.md §3.3), plus one PT and one P apply per transfer."""
+    per_apply = _per_apply_chain
     it = 0
     L = len(hier.levels)
     for lv, lev in enumerate(hier.levels):
@@ -91,11 +94,7 @@ def _vmem_floor_ms(hier) -> dict:
 
     def op_stats(W):
         gs = W if isinstance(W, tuple) else (W,)
-        chain = sum(
-            g.nb * (sum(g.ht) if g.ht is not None else g.w * g.H)
-            for g in gs
-        )
-        return chain, sum(g.nb for g in gs), len(gs)
+        return _per_apply_chain(W), sum(g.nb for g in gs), len(gs)
 
     chain = blocks = launches = 0
     L = len(hier.levels)

@@ -41,6 +41,11 @@ class MGLevel:
     PT: sp.csr_matrix | None = None
     A: sp.csr_matrix | None = None
     A_diag: np.ndarray | None = None
+    # build metadata (round 5): how this level was decimated, so
+    # extend_hierarchy can continue with the SAME strategy instead of
+    # silently mixing coarsening rules.  None on hand-built levels.
+    dec_type: "DecimationType | None" = None
+    ratio: float | None = None
 
 
 def _seed_corner_barycentrics(
@@ -173,7 +178,8 @@ def mg_precompute(
         if verbose:
             print(f"lv: {lv}, Vc: {Vc.shape[0]}")
         out.append(
-            MGLevel(V=Vc, F=Fc, P_full=P, P=P, PT=P.T.tocsr())
+            MGLevel(V=Vc, F=Fc, P_full=P, P=P, PT=P.T.tocsr(),
+                    dec_type=dec_type, ratio=ratio)
         )
     if verbose:
         print("============")
@@ -186,9 +192,9 @@ def mg_precompute(
 
 def extend_hierarchy(
     mg: list[MGLevel],
-    ratio: float = 0.25,
+    ratio: float | None = None,
     min_coarsest_nv: int = 40,
-    dec_type: DecimationType = DecimationType.MIDPOINT,
+    dec_type: "DecimationType | None" = None,
     block: bool = False,
     verbose: bool = False,
     seed: int | None = None,
@@ -208,6 +214,14 @@ def extend_hierarchy(
     (round 5, probe_step_time.py).  Returns a NEW list; `mg` is not
     mutated and its level records are shared."""
     out = list(mg)
+    # continue with the strategy the hierarchy itself was built with
+    # (recorded on its levels by mg_precompute); hand-built hierarchies
+    # without metadata fall back to the reference defaults
+    if dec_type is None:
+        dec_type = out[-1].dec_type if out[-1].dec_type is not None \
+            else DecimationType.MIDPOINT
+    if ratio is None:
+        ratio = out[-1].ratio if out[-1].ratio is not None else 0.25
     while out[-1].V.shape[0] * ratio > min_coarsest_nv:
         tarF = int(round(out[-1].F.shape[0] * ratio))
         if verbose:
@@ -217,13 +231,18 @@ def extend_hierarchy(
             Vc, Fc, P, _, _, _ = build(
                 out[-1].V, out[-1].F, tarF, dec_type, seed=seed
             )
-        except Exception as e:  # decimation gave up (tiny/degenerate)
-            if verbose:
-                print(f"extend stopped at lv {len(out)}: {e}")
+        except RuntimeError as e:  # decimation gave up (tiny/degenerate)
+            import warnings
+
+            warnings.warn(
+                f"extend_hierarchy stopped at level {len(out)}: {e}",
+                stacklevel=2,
+            )
             break
         if Vc.shape[0] >= out[-1].V.shape[0]:
             break
-        out.append(MGLevel(V=Vc, F=Fc, P_full=P, P=P, PT=P.T.tocsr()))
+        out.append(MGLevel(V=Vc, F=Fc, P_full=P, P=P, PT=P.T.tocsr(),
+                           dec_type=dec_type, ratio=ratio))
     return out
 
 
@@ -235,6 +254,10 @@ def save_hierarchy(path, mg: list[MGLevel]) -> None:
     for lv, L in enumerate(mg):
         arrs[f"V{lv}"] = L.V
         arrs[f"F{lv}"] = L.F
+        arrs[f"meta{lv}"] = np.asarray([
+            -1.0 if L.dec_type is None else float(int(L.dec_type)),
+            np.nan if L.ratio is None else float(L.ratio),
+        ])
         if lv > 0:
             P = L.P_full.tocsr()
             arrs[f"P{lv}_indptr"] = P.indptr
@@ -250,6 +273,12 @@ def load_hierarchy(path) -> list[MGLevel]:
         mg = []
         for lv in range(n):
             level = MGLevel(V=z[f"V{lv}"], F=z[f"F{lv}"])
+            if f"meta{lv}" in z.files:
+                dt, rt = z[f"meta{lv}"]
+                if dt >= 0:
+                    level.dec_type = DecimationType(int(dt))
+                if not np.isnan(rt):
+                    level.ratio = float(rt)
             if lv > 0:
                 P = sp.csr_matrix(
                     (

@@ -44,7 +44,10 @@ def _registry():
     }
 
 
-def _encode(obj, arrays: dict, path: str):
+def _encode(obj, arrays: dict):
+    """Array leaves get sequential keys ("a0", "a1", ...) — collision-
+    free by construction (user-controlled dict keys must never feed the
+    npz namespace: "a"/"b" vs "a.b" style paths would alias)."""
     reg = _registry()
     for name, cls in reg.items():
         if isinstance(obj, cls):
@@ -52,36 +55,31 @@ def _encode(obj, arrays: dict, path: str):
             return {
                 "t": name,
                 "aux": _encode_aux(aux),
-                "c": [
-                    _encode(ch, arrays, f"{path}.{i}")
-                    for i, ch in enumerate(children)
-                ],
+                "c": [_encode(ch, arrays) for ch in children],
             }
     if obj is None:
         return {"t": "none"}
     if isinstance(obj, (tuple, list)):
         return {
             "t": "tuple" if isinstance(obj, tuple) else "list",
-            "c": [
-                _encode(ch, arrays, f"{path}.{i}")
-                for i, ch in enumerate(obj)
-            ],
+            "c": [_encode(ch, arrays) for ch in obj],
         }
     if isinstance(obj, dict):
         keys = sorted(obj)
+        if any(not isinstance(k, str) for k in keys):
+            raise TypeError("only str dict keys are serializable")
         return {
             "t": "dict",
             "k": keys,
-            "c": [
-                _encode(obj[k], arrays, f"{path}.{k}") for k in keys
-            ],
+            "c": [_encode(obj[k], arrays) for k in keys],
         }
     if isinstance(obj, (jnp.ndarray, np.ndarray)):
-        arrays[path] = np.asarray(obj)
-        return {"t": "arr", "key": path}
+        key = f"a{len(arrays)}"
+        arrays[key] = np.asarray(obj)
+        return {"t": "arr", "key": key}
     if isinstance(obj, (bool, int, float, str)):
         return {"t": "lit", "v": obj}
-    raise TypeError(f"cannot serialize {type(obj)!r} at {path}")
+    raise TypeError(f"cannot serialize {type(obj)!r}")
 
 
 def _encode_aux(aux):
@@ -129,7 +127,7 @@ def save_pytree(path, obj) -> None:
     """Persist any nested structure of the framework's device containers
     (see module docstring) to one .npz."""
     arrays: dict = {}
-    spec = _encode(obj, arrays, "r")
+    spec = _encode(obj, arrays)
     np.savez_compressed(
         path, __spec__=np.frombuffer(
             json.dumps(spec).encode(), dtype=np.uint8

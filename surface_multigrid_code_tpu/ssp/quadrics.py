@@ -68,26 +68,21 @@ def compute_vertex_quadrics(V: np.ndarray, F: np.ndarray):
         np.add.at(c, F[:, k], fc)
 
     # boundary edges: the reference sees them as faces with one infinite
-    # corner (:108-163); here they are edges incident to exactly one
-    # face.  Subspace = {edge direction} + the orthogonal complement of
-    # span{edge, other in-face edge}; weight = length^2 / 100.
-    E = np.sort(
-        F[:, [0, 1, 1, 2, 2, 0]].reshape(-1, 2), axis=1
-    )
-    order = np.lexsort((E[:, 1], E[:, 0]))
-    Es = E[order]
-    new = np.ones(Es.shape[0], dtype=bool)
-    new[1:] = (Es[1:] != Es[:-1]).any(axis=1)
-    grp = np.cumsum(new) - 1
-    counts = np.bincount(grp)
-    single = counts[grp] == 1
-    bnd_rows = order[single]                     # rows into the E listing
-    if bnd_rows.size:
-        face = bnd_rows // 3
-        corner = bnd_rows % 3                    # edge (c, c+1) of face
-        i0 = F[face, corner]
-        i1 = F[face, (corner + 1) % 3]
-        iu = F[face, (corner + 2) % 3]           # opposite in-face vertex
+    # corner (:108-163); here they are the edge-flap rows with an empty
+    # second slot (utils.mesh.edges_and_flaps, which also enforces
+    # edge-manifoldness — the same gate the decimator applies).  Subspace
+    # = {edge direction} + the orthogonal complement of span{edge, other
+    # in-face edge}; weight = length^2 / 100.
+    from surface_multigrid_code_tpu.utils.mesh import edges_and_flaps
+
+    _E, _EMAP, EF, EI = edges_and_flaps(F)
+    bnd = np.nonzero(EF[:, 1] < 0)[0]
+    if bnd.size:
+        face = EF[bnd, 0].astype(np.int64)
+        opp_c = EI[bnd, 0].astype(np.int64)      # corner OPPOSITE the edge
+        i0 = F[face, (opp_c + 1) % 3]            # reference p (:111)
+        i1 = F[face, (opp_c + 2) % 3]
+        iu = F[face, opp_c]                      # opposite in-face vertex
         pb = V[i0]
         ev = V[i1] - pb
         length = np.linalg.norm(ev, axis=1)

@@ -19,39 +19,9 @@ import numpy as np
 import scipy.sparse as sp
 import scipy.sparse.linalg as spla
 
-
-def boundary_loops(F: np.ndarray) -> list[np.ndarray]:
-    """Ordered boundary loops (igl::boundary_loop semantics), longest
-    first."""
-    F = np.asarray(F, dtype=np.int64)
-    E = F[:, [0, 1, 1, 2, 2, 0]].reshape(-1, 2)
-    key = np.sort(E, axis=1)
-    order = np.lexsort((key[:, 1], key[:, 0]))
-    Es = key[order]
-    new = np.ones(Es.shape[0], dtype=bool)
-    new[1:] = (Es[1:] != Es[:-1]).any(axis=1)
-    grp = np.cumsum(new) - 1
-    counts = np.bincount(grp)
-    single = counts[grp] == 1
-    bedges = E[order[single]]            # directed as they appear in F
-    if bedges.size == 0:
-        return []
-    nxt = dict(zip(bedges[:, 0].tolist(), bedges[:, 1].tolist()))
-    loops = []
-    seen: set[int] = set()
-    for start in nxt:
-        if start in seen:
-            continue
-        loop = [start]
-        seen.add(start)
-        v = nxt[start]
-        while v != start:
-            loop.append(v)
-            seen.add(v)
-            v = nxt[v]
-        loops.append(np.asarray(loop, dtype=np.int64))
-    loops.sort(key=len, reverse=True)
-    return loops
+# the guarded walk (non-manifold pinch + unclosed-loop ValueErrors) lives
+# in utils.mesh; re-exported here because project_to_disk callers need it
+from surface_multigrid_code_tpu.utils.mesh import boundary_loops  # noqa: F401
 
 
 def map_vertices_to_circle(V: np.ndarray, b: np.ndarray) -> np.ndarray:
