@@ -16,7 +16,7 @@ sys.path.insert(0, ".")
 import numpy as np
 
 
-def main(well="1", mesh="bunny_15K_init", scale="1e6", nc="500"):
+def main(well="1", mesh="bunny_15K_init", scale="1e6", nc="500", pits="12"):
     import jax, jax.numpy as jnp
     from surface_multigrid_code_tpu.models.balloon import (
         BsrBalloonStepper, lumped_mass_matrix, vertex_normals)
@@ -36,8 +36,11 @@ def main(well="1", mesh="bunny_15K_init", scale="1e6", nc="500"):
     M = 1000.0 * lumped_mass_matrix(V, F)
     mg = mg_precompute(V, F, min_coarsest_nv=int(nc), verbose=False)
     print("levels:", [mg[l].V.shape[0] for l in range(len(mg))], flush=True)
+    from surface_multigrid_code_tpu.config import SolveConfig, SmootherType
+    cfg = SolveConfig(smoother=SmootherType.CHEBYSHEV,
+                      lam_power_iters=int(pits))
     stepper = BsrBalloonStepper(shell, M, mg, 1e-3, mg_tolerance=2e-1,
-                                well=well)
+                                well=well, cfg=cfg)
     nv = V.shape[0]
     Nrm = vertex_normals(V, F)
     Mvd = np.asarray(massmatrix(V, F, kind="voronoi").diagonal())

@@ -74,6 +74,11 @@ class SolveConfig:
     # (solver/vcycle._vcycle_tiled); False forces the unfused path —
     # an A/B hook, trajectories are identical.
     tiled_vcycle: bool = True
+    # Chebyshev lam_max power-iteration count in refreshed solvers
+    # (solver/bsr.py; 12 + 1.1x margin is the validated default — the
+    # knob exists for A/B experiments, NOT production tuning: an
+    # underestimated bound diverges the smoother window).
+    lam_power_iters: int = 12
 
 
 @dataclasses.dataclass(frozen=True)

@@ -537,7 +537,8 @@ class BsrRefreshableSolver:
             return None
         if lam_in is not None and lam_in[lv] is not None:
             return lam_in[lv]
-        return _bsr_device_lam_max(A, diag3)
+        return _bsr_device_lam_max(A, diag3,
+                                   iters=self.cfg.lam_power_iters)
 
     def _refresh_well(self, state, B0_vals: jnp.ndarray,
                       lam_in=None) -> BsrHierarchy:
@@ -617,7 +618,7 @@ class BsrRefreshableSolver:
                         return (y / lam, lam)
 
                     _, lam = jax.lax.fori_loop(
-                        0, 12, pw_body,
+                        0, self.cfg.lam_power_iters, pw_body,
                         (x0, jnp.asarray(1.0, self.dtype)),
                     )
                     lam_max = 1.1 * lam
