@@ -201,3 +201,35 @@ def test_extend_hierarchy_deepens_and_matches():
     p2, _ = s_deep.step(V.copy(), qdot0, fExt)
     scale = max(1.0, np.abs(p1 - V).max())
     assert np.abs(p1 - p2).max() < 1e-6 * scale
+
+
+def test_extend_hierarchy_inherits_strategy():
+    """extend_hierarchy continues with the strategy the hierarchy was
+    built with (MGLevel.dec_type/ratio metadata, round-5 review fix) —
+    a qslim stack must not silently grow midpoint levels."""
+    import numpy as np
+    from surface_multigrid_code_tpu.config import DecimationType
+    from surface_multigrid_code_tpu.solver.hierarchy import (
+        extend_hierarchy,
+        load_hierarchy,
+        mg_precompute,
+        save_hierarchy,
+    )
+    from surface_multigrid_code_tpu.utils.synthetic import icosphere
+
+    V, F = icosphere(3)
+    mg = mg_precompute(V, F, min_coarsest_nv=150,
+                       dec_type=DecimationType.QSLIM, verbose=False)
+    assert mg[-1].dec_type == DecimationType.QSLIM
+    mg2 = extend_hierarchy(mg, min_coarsest_nv=20)
+    assert len(mg2) > len(mg)
+    assert all(l.dec_type == DecimationType.QSLIM for l in mg2[1:])
+    # metadata survives serialization
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "h.npz")
+        save_hierarchy(p, mg2)
+        mg3 = load_hierarchy(p)
+    assert mg3[-1].dec_type == DecimationType.QSLIM
+    assert mg3[-1].ratio == 0.25
+    np.testing.assert_array_equal(mg3[-1].F, mg2[-1].F)
