@@ -138,6 +138,17 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent XLA executable cache (round 5): slope-based numbers are
+    # unaffected; first-compile latency drops on repeat runs
+    try:
+        from surface_multigrid_code_tpu.utils.compile_cache import (
+            enable_persistent_cache,
+        )
+
+        enable_persistent_cache("/root/repo/.jax_cache")
+    except Exception:
+        pass
+
     from surface_multigrid_code_tpu.config import SolveConfig, SmootherType
     from surface_multigrid_code_tpu.ops.laplacian import cotmatrix, massmatrix
     from surface_multigrid_code_tpu.solver.hierarchy import mg_precompute
